@@ -1,0 +1,84 @@
+"""LSTM layers for the DeepFRI language-model branch.
+
+The reference executes the pretrained LSTM-LM inside the merged ONNX graph
+("MERGED" model names, reference ``mDeepFRI/__init__.py:70-80``; background at
+SURVEY.md §2.4). Here it is a functional ``lax.scan`` over the length axis —
+XLA compiles the per-step (4H×H) recurrences onto the MXU and the scan
+carries only the (B, H) state.
+
+Gate convention is Keras/ONNX ``[i, f, c, o]`` with the input-kernel and
+recurrent-kernel stored as (in_dim, 4H) and (H, 4H); this is the layout the
+ONNX ``LSTM`` op's ``W/R/B`` initializers map onto (transposed, gate-reordered
+from ONNX's ``[i, o, f, c]`` by :mod:`.onnx_import`), so imported weights slot
+in without per-step reshuffling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def init_lstm(key, in_dim: int, hidden: int, dtype=jnp.float32) -> dict:
+    """Glorot-uniform kernel, orthogonal-free recurrent init, unit forget bias."""
+    k1, k2 = jax.random.split(key)
+    scale = np.sqrt(6.0 / (in_dim + 4 * hidden))
+    kernel = jax.random.uniform(k1, (in_dim, 4 * hidden), dtype, -scale, scale)
+    rscale = np.sqrt(6.0 / (hidden + 4 * hidden))
+    recurrent = jax.random.uniform(k2, (hidden, 4 * hidden), dtype, -rscale, rscale)
+    bias = jnp.zeros((4 * hidden,), dtype)
+    # unit forget-gate bias (Keras default) — gates ordered [i, f, c, o]
+    bias = bias.at[hidden:2 * hidden].set(1.0)
+    return {"kernel": kernel, "recurrent": recurrent, "bias": bias}
+
+
+def lstm_forward(params: dict, x: jnp.ndarray,
+                 reverse: bool = False) -> jnp.ndarray:
+    """Run an LSTM over the length axis of ``x`` (B, L, D) → (B, L, H).
+
+    ``reverse=True`` scans right-to-left (for bidirectional stacks). Padded
+    positions are processed like any other step; forward-direction states at
+    valid positions are unaffected by right-padding, and reverse-direction
+    use requires length-aware flipping by the caller.
+    """
+    hidden = params["recurrent"].shape[0]
+    B = x.shape[0]
+    # Pre-compute the input contribution for all steps in one big matmul.
+    xw = jnp.einsum("bld,dg->blg", x, params["kernel"],
+                    preferred_element_type=jnp.float32) + params["bias"]
+
+    def step(carry, xw_t):
+        h, c = carry
+        gates = xw_t + h @ params["recurrent"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = jnp.zeros((B, hidden), x.dtype)
+    c0 = jnp.zeros((B, hidden), x.dtype)
+    xw_t = jnp.swapaxes(xw, 0, 1)  # (L, B, 4H)
+    (_, _), hs = jax.lax.scan(step, (h0, c0), xw_t, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)  # (B, L, H)
+
+
+def init_lstm_stack(key, in_dim: int, hidden: int, layers: int,
+                    dtype=jnp.float32) -> list:
+    params = []
+    for i in range(layers):
+        key, sub = jax.random.split(key)
+        params.append(init_lstm(sub, in_dim if i == 0 else hidden, hidden,
+                                dtype))
+    return params
+
+
+def lstm_stack_forward(params: list, x: jnp.ndarray) -> jnp.ndarray:
+    for layer in params:
+        x = lstm_forward(layer, x)
+    return x

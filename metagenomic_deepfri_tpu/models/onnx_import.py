@@ -1,0 +1,591 @@
+"""ONNX graph execution and DeepFRI weight import.
+
+Two roles:
+
+1. :class:`OnnxExecutor` — an eager evaluator for the operator subset that
+   tf2onnx emits for the DeepFRI Keras models (MatMul/Gemm, LSTM, Conv,
+   activations, reductions, reshapes). It is the *parity oracle*: the JAX
+   forwards in :mod:`.deepfri` are validated against it per-layer, replacing
+   the reference's onnxruntime-based oracle (reference
+   ``weight_convert/README.md:5-6`` validated TF2 vs ONNX the same way).
+
+2. Weight import/export — :func:`import_gcn_params` / :func:`import_cnn_params`
+   map a parsed ONNX graph's initializers onto our parameter trees by
+   topological shape-matching; ``export_*_to_onnx`` serialise our parameter
+   trees into equivalent ONNX graphs (round-trip test fixtures, and an escape
+   hatch back to the reference toolchain).
+
+ONNX LSTM gate order is ``[i, o, f, c]``; ours (Keras layout) is
+``[i, f, c, o]`` — conversion happens here so :mod:`.lstm` stays clean.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from metagenomic_deepfri_tpu.models.deepfri import CNNConfig, GCNConfig
+from metagenomic_deepfri_tpu.models.onnx_reader import (OnnxGraph, OnnxNode,
+                                                        save_onnx)
+
+_F32 = 1  # TensorProto.FLOAT
+
+
+# ---------------------------------------------------------------------------
+# Gate-order conversion helpers
+# ---------------------------------------------------------------------------
+
+def _iofc_to_ifco(w_4h: np.ndarray, hidden: int) -> np.ndarray:
+    """Reorder the 4H gate axis (axis 0) from ONNX [i,o,f,c] to ours [i,f,c,o]."""
+    i, o, f, c = (w_4h[k * hidden:(k + 1) * hidden] for k in range(4))
+    return np.concatenate([i, f, c, o], axis=0)
+
+
+def _ifco_to_iofc(w_4h: np.ndarray, hidden: int) -> np.ndarray:
+    i, f, c, o = (w_4h[k * hidden:(k + 1) * hidden] for k in range(4))
+    return np.concatenate([i, o, f, c], axis=0)
+
+
+def lstm_params_from_onnx(W: np.ndarray, R: np.ndarray,
+                          B: np.ndarray) -> dict:
+    """ONNX LSTM initializers (1, 4H, D), (1, 4H, H), (1, 8H) → our layout."""
+    hidden = R.shape[-1]
+    kernel = _iofc_to_ifco(W[0], hidden).T          # (D, 4H)
+    recurrent = _iofc_to_ifco(R[0], hidden).T        # (H, 4H)
+    wb, rb = B[0][:4 * hidden], B[0][4 * hidden:]
+    bias = _iofc_to_ifco(wb, hidden) + _iofc_to_ifco(rb, hidden)
+    return {"kernel": jnp.asarray(kernel), "recurrent": jnp.asarray(recurrent),
+            "bias": jnp.asarray(bias)}
+
+
+def lstm_params_to_onnx(params: dict) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]:
+    hidden = params["recurrent"].shape[0]
+    W = _ifco_to_iofc(np.asarray(params["kernel"]).T, hidden)[None]
+    R = _ifco_to_iofc(np.asarray(params["recurrent"]).T, hidden)[None]
+    wb = _ifco_to_iofc(np.asarray(params["bias"]), hidden)
+    B = np.concatenate([wb, np.zeros_like(wb)])[None]
+    return W.astype(np.float32), R.astype(np.float32), B.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Eager graph executor
+# ---------------------------------------------------------------------------
+
+class OnnxExecutor:
+    """Eagerly evaluate an :class:`OnnxGraph` on named feeds.
+
+    Returns all graph outputs (list), mirroring
+    ``onnxruntime.InferenceSession.run(None, feeds)`` (reference
+    ``predict.pyx:98``). Intermediate activations can be captured via
+    ``trace=True`` for per-layer parity checks.
+    """
+
+    def __init__(self, graph: OnnxGraph):
+        self.graph = graph
+        self.input_names = [vi.name for vi in graph.inputs]
+
+    def run(self, feeds: dict, trace: bool = False):
+        env: dict[str, np.ndarray] = {}
+        for name, arr in self.graph.initializers.items():
+            env[name] = np.asarray(arr)
+        for name, arr in feeds.items():
+            env[name] = np.asarray(arr)
+        traced = {}
+        for node in self.graph.nodes:
+            outs = self._eval(node, env)
+            for name, val in zip(node.outputs, outs):
+                if name:
+                    env[name] = val
+                    if trace:
+                        traced[name] = val
+        results = [env[vi.name] for vi in self.graph.outputs]
+        if trace:
+            return results, traced
+        return results
+
+    # -- op registry --------------------------------------------------------
+
+    def _eval(self, node: OnnxNode, env: dict):
+        op = node.op_type
+        attrs = node.attributes
+        x = [env[i] if i else None for i in node.inputs]
+
+        if op == "MatMul":
+            return [np.asarray(jnp.matmul(x[0], x[1]))]
+        if op == "Gemm":
+            a = x[0].T if attrs.get("transA", 0) else x[0]
+            b = x[1].T if attrs.get("transB", 0) else x[1]
+            y = attrs.get("alpha", 1.0) * (a @ b)
+            if len(x) > 2 and x[2] is not None:
+                y = y + attrs.get("beta", 1.0) * x[2]
+            return [np.asarray(y)]
+        if op == "Add":
+            return [x[0] + x[1]]
+        if op == "Sub":
+            return [x[0] - x[1]]
+        if op == "Mul":
+            return [x[0] * x[1]]
+        if op == "Div":
+            return [x[0] / x[1]]
+        if op == "Relu":
+            return [np.maximum(x[0], 0)]
+        if op == "Sigmoid":
+            return [np.asarray(jax.nn.sigmoid(x[0]))]
+        if op == "Tanh":
+            return [np.tanh(x[0])]
+        if op == "Sqrt":
+            return [np.sqrt(x[0])]
+        if op == "Reciprocal":
+            return [1.0 / x[0]]
+        if op == "Max":
+            y = x[0]
+            for other in x[1:]:
+                y = np.maximum(y, other)
+            return [y]
+        if op == "Softmax":
+            axis = attrs.get("axis", -1)
+            return [np.asarray(jax.nn.softmax(x[0], axis=axis))]
+        if op == "Concat":
+            return [np.concatenate(x, axis=attrs["axis"])]
+        if op == "Reshape":
+            shape = [int(d) for d in x[1]]
+            return [x[0].reshape(shape)]
+        if op == "Transpose":
+            return [np.transpose(x[0], attrs.get("perm"))]
+        if op == "Squeeze":
+            axes = attrs.get("axes")
+            if axes is None and len(x) > 1 and x[1] is not None:
+                axes = [int(a) for a in x[1]]
+            return [np.squeeze(x[0], axis=tuple(axes) if axes else None)]
+        if op == "Unsqueeze":
+            axes = attrs.get("axes")
+            if axes is None and len(x) > 1 and x[1] is not None:
+                axes = [int(a) for a in x[1]]
+            y = x[0]
+            for a in sorted(axes):
+                y = np.expand_dims(y, a)
+            return [y]
+        if op == "ReduceSum":
+            axes = attrs.get("axes")
+            if axes is None and len(x) > 1 and x[1] is not None:
+                axes = [int(a) for a in x[1]]
+            keep = bool(attrs.get("keepdims", 1))
+            return [np.sum(x[0], axis=tuple(axes) if axes else None,
+                           keepdims=keep)]
+        if op == "ReduceMax":
+            axes = attrs.get("axes")
+            keep = bool(attrs.get("keepdims", 1))
+            return [np.max(x[0], axis=tuple(axes) if axes else None,
+                           keepdims=keep)]
+        if op == "Identity":
+            return [x[0]]
+        if op == "Cast":
+            from metagenomic_deepfri_tpu.models.onnx_reader import DTYPE_MAP
+            return [x[0].astype(DTYPE_MAP[attrs["to"]])]
+        if op == "Constant":
+            return [np.asarray(attrs["value"])]
+        if op == "Shape":
+            return [np.asarray(x[0].shape, dtype=np.int64)]
+        if op == "Gather":
+            axis = attrs.get("axis", 0)
+            return [np.take(x[0], x[1].astype(np.int64), axis=axis)]
+        if op == "Slice":
+            starts = [int(v) for v in x[1]]
+            ends = [int(v) for v in x[2]]
+            axes = ([int(v) for v in x[3]] if len(x) > 3 and x[3] is not None
+                    else list(range(len(starts))))
+            steps = ([int(v) for v in x[4]] if len(x) > 4 and x[4] is not None
+                     else [1] * len(starts))
+            slices = [slice(None)] * x[0].ndim
+            for s, e, a, st in zip(starts, ends, axes, steps):
+                slices[a] = slice(s, e, st)
+            return [x[0][tuple(slices)]]
+        if op == "Conv":
+            return [self._conv(x, attrs)]
+        if op == "LSTM":
+            return self._lstm(x, attrs)
+        if op == "GlobalMaxPool":
+            return [np.max(x[0], axis=tuple(range(2, x[0].ndim)),
+                           keepdims=True)]
+        raise NotImplementedError(f"ONNX op not supported: {op}")
+
+    def _conv(self, x, attrs):
+        """1-D/2-D Conv with NCW/NCHW layout (ONNX convention)."""
+        data, weight = x[0], x[1]
+        bias = x[2] if len(x) > 2 else None
+        spatial = data.ndim - 2
+        strides = attrs.get("strides", [1] * spatial)
+        pads = attrs.get("pads", [0] * (2 * spatial))
+        auto_pad = attrs.get("auto_pad", b"NOTSET")
+        if isinstance(auto_pad, bytes):
+            auto_pad = auto_pad.decode()
+        if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+            padding = "SAME"
+        else:
+            padding = [(pads[i], pads[i + spatial]) for i in range(spatial)]
+        dn_in = "NC" + "DHW"[3 - spatial:]
+        dn = (dn_in, "OI" + "DHW"[3 - spatial:], dn_in)
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(data, jnp.float32), jnp.asarray(weight, jnp.float32),
+            window_strides=strides, padding=padding, dimension_numbers=dn)
+        y = np.asarray(y)
+        if bias is not None:
+            y = y + bias.reshape((1, -1) + (1,) * spatial)
+        return y
+
+    def _lstm(self, x, attrs):
+        """ONNX LSTM (forward or bidirectional), default activations."""
+        X, W, R, B = x[0], x[1], x[2], x[3] if len(x) > 3 else None
+        hidden = attrs["hidden_size"]
+        direction = attrs.get("direction", b"forward")
+        if isinstance(direction, bytes):
+            direction = direction.decode()
+        num_dir = W.shape[0]
+        seq_len, batch, _ = X.shape
+        if B is None:
+            B = np.zeros((num_dir, 8 * hidden), np.float32)
+
+        def run_dir(d, reverse):
+            w, r = W[d], R[d]
+            wb, rb = B[d][:4 * hidden], B[d][4 * hidden:]
+            h = np.zeros((batch, hidden), np.float32)
+            c = np.zeros((batch, hidden), np.float32)
+            ys = np.zeros((seq_len, batch, hidden), np.float32)
+            order = range(seq_len - 1, -1, -1) if reverse else range(seq_len)
+            for t in order:
+                gates = X[t] @ w.T + h @ r.T + wb + rb
+                i = _sigmoid(gates[:, :hidden])
+                o = _sigmoid(gates[:, hidden:2 * hidden])
+                f = _sigmoid(gates[:, 2 * hidden:3 * hidden])
+                g = np.tanh(gates[:, 3 * hidden:])
+                c = f * c + i * g
+                h = o * np.tanh(c)
+                ys[t] = h
+            return ys, h, c
+
+        dirs = []
+        finals_h, finals_c = [], []
+        for d in range(num_dir):
+            reverse = (direction == "reverse") or (d == 1)
+            ys, h, c = run_dir(d, reverse)
+            dirs.append(ys)
+            finals_h.append(h)
+            finals_c.append(c)
+        Y = np.stack(dirs, axis=1)               # (seq, num_dir, batch, H)
+        Y_h = np.stack(finals_h, axis=0)
+        Y_c = np.stack(finals_c, axis=0)
+        return [Y, Y_h, Y_c]
+
+
+def _sigmoid(v):
+    return 1.0 / (1.0 + np.exp(-v))
+
+
+# ---------------------------------------------------------------------------
+# Export (our params → ONNX)
+# ---------------------------------------------------------------------------
+
+def export_gcn_to_onnx(params: dict, config: GCNConfig, path: str):
+    """Serialise a GCN parameter tree as an ONNX graph.
+
+    The graph mirrors the reference models' I/O contract: inputs
+    ``A (1, L, L)``, ``S (1, L, 26)``; output ``(1, n_labels, 2)`` whose
+    ``[:, :, 0]`` slice is the score vector (reference predict.pyx:83-102).
+    Exported with ``adj_norm='none'`` semantics — the adjacency is consumed
+    as fed, so normalisation must be baked by the caller if desired.
+    """
+    nodes = []
+    init: dict[str, np.ndarray] = {}
+
+    # --- sequence branch ---
+    nodes.append(OnnxNode("Transpose", ["S"], ["seq_t"], "transpose_in",
+                          {"perm": [1, 0, 2]}))
+    prev = "seq_t"
+    for li, layer in enumerate(params["lm"]):
+        W, R, B = lstm_params_to_onnx(layer)
+        init[f"lstm{li}_W"] = W
+        init[f"lstm{li}_R"] = R
+        init[f"lstm{li}_B"] = B
+        nodes.append(OnnxNode(
+            "LSTM", [prev, f"lstm{li}_W", f"lstm{li}_R", f"lstm{li}_B"],
+            [f"lstm{li}_Y", f"lstm{li}_Yh", f"lstm{li}_Yc"], f"LSTM{li + 1}",
+            {"hidden_size": config.lm_hidden}))
+        nodes.append(OnnxNode("Squeeze", [f"lstm{li}_Y", "axes1"],
+                              [f"lstm{li}_sq"], f"lstm{li}_squeeze"))
+        prev = f"lstm{li}_sq"
+    init["axes1"] = np.asarray([1], np.int64)
+    nodes.append(OnnxNode("Transpose", [prev], ["lm_out"], "transpose_out",
+                          {"perm": [1, 0, 2]}))
+
+    init["lm_embed_k"] = np.asarray(params["lm_embed"]["kernel"], np.float32)
+    nodes.append(OnnxNode("MatMul", ["lm_out", "lm_embed_k"], ["x_lm"],
+                          "LM_embedding"))
+    init["aa_embed_k"] = np.asarray(params["aa_embed"]["kernel"], np.float32)
+    init["aa_embed_b"] = np.asarray(params["aa_embed"]["bias"], np.float32)
+    nodes.append(OnnxNode("MatMul", ["S", "aa_embed_k"], ["x_aa0"],
+                          "AA_embedding"))
+    nodes.append(OnnxNode("Add", ["x_aa0", "aa_embed_b"], ["x_aa"],
+                          "AA_bias"))
+    nodes.append(OnnxNode("Add", ["x_lm", "x_aa"], ["embed_sum"], "Embedding"))
+    nodes.append(OnnxNode("Relu", ["embed_sum"], ["h0"],
+                          "Embedding_activation"))
+
+    # --- GraphConv stack ---
+    prev = "h0"
+    concat_inputs = []
+    for gi, layer in enumerate(params["gc"]):
+        init[f"gc{gi}_k"] = np.asarray(layer["kernel"], np.float32)
+        nodes.append(OnnxNode("MatMul", ["A", prev], [f"gc{gi}_agg"],
+                              f"GCNN_agg_{gi + 1}"))
+        nodes.append(OnnxNode("MatMul", [f"gc{gi}_agg", f"gc{gi}_k"],
+                              [f"gc{gi}_lin"], f"GCNN_lin_{gi + 1}"))
+        nodes.append(OnnxNode("Relu", [f"gc{gi}_lin"], [f"gc{gi}_out"],
+                              f"GCNN_layer_{gi + 1}"))
+        concat_inputs.append(f"gc{gi}_out")
+        prev = f"gc{gi}_out"
+    nodes.append(OnnxNode("Concat", concat_inputs, ["gc_concat"],
+                          "GCNN_concatenate", {"axis": -1}))
+
+    # --- pool + head ---
+    init["pool_axes"] = np.asarray([1], np.int64)
+    nodes.append(OnnxNode("ReduceSum", ["gc_concat", "pool_axes"], ["pooled"],
+                          "SumPooling", {"keepdims": 0}))
+    prev = "pooled"
+    for fi, layer in enumerate(params["fc"]):
+        init[f"fc{fi}_k"] = np.asarray(layer["kernel"], np.float32)
+        init[f"fc{fi}_b"] = np.asarray(layer["bias"], np.float32)
+        nodes.append(OnnxNode("MatMul", [prev, f"fc{fi}_k"], [f"fc{fi}_lin"],
+                              f"fc{fi}"))
+        nodes.append(OnnxNode("Add", [f"fc{fi}_lin", f"fc{fi}_b"],
+                              [f"fc{fi}_biased"], f"fc{fi}_bias"))
+        nodes.append(OnnxNode("Relu", [f"fc{fi}_biased"], [f"fc{fi}_out"],
+                              f"fc{fi}_relu"))
+        prev = f"fc{fi}_out"
+    init["head_k"] = np.asarray(params["head"]["kernel"], np.float32)
+    init["head_b"] = np.asarray(params["head"]["bias"], np.float32)
+    nodes.append(OnnxNode("MatMul", [prev, "head_k"], ["head_lin"], "head"))
+    nodes.append(OnnxNode("Add", ["head_lin", "head_b"], ["head_biased"],
+                          "head_bias"))
+    init["out_shape"] = np.asarray([-1, config.n_labels, 2], np.int64)
+    nodes.append(OnnxNode("Reshape", ["head_biased", "out_shape"],
+                          ["head_reshaped"], "head_reshape"))
+    nodes.append(OnnxNode("Softmax", ["head_reshaped"], ["labels"],
+                          "head_softmax", {"axis": -1}))
+
+    save_onnx(path, nodes, init,
+              inputs=[("A", _F32, [1, "L", "L"]), ("S", _F32, [1, "L", 26])],
+              outputs=[("labels", _F32, [1, config.n_labels, 2])],
+              graph_name="deepfri_gcn")
+
+
+def export_cnn_to_onnx(params: dict, config: CNNConfig, path: str):
+    """Serialise a CNN parameter tree as an ONNX graph (input ``S`` only)."""
+    nodes = []
+    init: dict[str, np.ndarray] = {}
+    # ONNX Conv is NCW: transpose (1, L, 26) → (1, 26, L)
+    nodes.append(OnnxNode("Transpose", ["S"], ["s_ncw"], "to_ncw",
+                          {"perm": [0, 2, 1]}))
+    branch_outs = []
+    for ci, conv in enumerate(params["conv"]):
+        # ours (k, in, out) → ONNX (out, in, k)
+        init[f"conv{ci}_w"] = np.transpose(
+            np.asarray(conv["kernel"], np.float32), (2, 1, 0))
+        init[f"conv{ci}_b"] = np.asarray(conv["bias"], np.float32)
+        nodes.append(OnnxNode(
+            "Conv", ["s_ncw", f"conv{ci}_w", f"conv{ci}_b"],
+            [f"conv{ci}_out"], f"conv{ci}",
+            {"auto_pad": b"SAME_UPPER"}))
+        branch_outs.append(f"conv{ci}_out")
+    nodes.append(OnnxNode("Concat", branch_outs, ["conv_concat"],
+                          "conv_concat", {"axis": 1}))
+    nodes.append(OnnxNode("Relu", ["conv_concat"], ["conv_act"], "conv_relu"))
+    nodes.append(OnnxNode("GlobalMaxPool", ["conv_act"], ["pool_ncw"],
+                          "global_pool"))
+    init["sq_axes"] = np.asarray([2], np.int64)
+    nodes.append(OnnxNode("Squeeze", ["pool_ncw", "sq_axes"], ["pooled"],
+                          "pool_squeeze"))
+    prev = "pooled"
+    for fi, layer in enumerate(params["fc"]):
+        init[f"fc{fi}_k"] = np.asarray(layer["kernel"], np.float32)
+        init[f"fc{fi}_b"] = np.asarray(layer["bias"], np.float32)
+        nodes.append(OnnxNode("MatMul", [prev, f"fc{fi}_k"], [f"fc{fi}_lin"],
+                              f"fc{fi}"))
+        nodes.append(OnnxNode("Add", [f"fc{fi}_lin", f"fc{fi}_b"],
+                              [f"fc{fi}_biased"], f"fc{fi}_bias"))
+        nodes.append(OnnxNode("Relu", [f"fc{fi}_biased"], [f"fc{fi}_out"],
+                              f"fc{fi}_relu"))
+        prev = f"fc{fi}_out"
+    init["head_k"] = np.asarray(params["head"]["kernel"], np.float32)
+    init["head_b"] = np.asarray(params["head"]["bias"], np.float32)
+    nodes.append(OnnxNode("MatMul", [prev, "head_k"], ["head_lin"], "head"))
+    nodes.append(OnnxNode("Add", ["head_lin", "head_b"], ["head_biased"],
+                          "head_bias"))
+    init["out_shape"] = np.asarray([-1, config.n_labels, 2], np.int64)
+    nodes.append(OnnxNode("Reshape", ["head_biased", "out_shape"],
+                          ["head_reshaped"], "head_reshape"))
+    nodes.append(OnnxNode("Softmax", ["head_reshaped"], ["labels"],
+                          "head_softmax", {"axis": -1}))
+    save_onnx(path, nodes, init,
+              inputs=[("S", _F32, [1, "L", 26])],
+              outputs=[("labels", _F32, [1, config.n_labels, 2])],
+              graph_name="deepfri_cnn")
+
+
+# ---------------------------------------------------------------------------
+# Import (ONNX → our params) — topological shape matching
+# ---------------------------------------------------------------------------
+
+def _topo_matmul_weights(graph: OnnxGraph):
+    """(node, weight, bias|None) for every MatMul/Gemm with an initializer
+    weight, in graph order; bias found by following the output into an Add
+    with a 1-D initializer."""
+    consumers: dict[str, list[OnnxNode]] = {}
+    for node in graph.nodes:
+        for i in node.inputs:
+            consumers.setdefault(i, []).append(node)
+    out = []
+    for node in graph.nodes:
+        if node.op_type not in ("MatMul", "Gemm"):
+            continue
+        weight = None
+        for i in node.inputs[:2]:
+            if i in graph.initializers and graph.initializers[i].ndim == 2:
+                weight = np.asarray(graph.initializers[i], np.float32)
+        if weight is None:
+            continue
+        bias = None
+        if node.op_type == "Gemm" and len(node.inputs) > 2:
+            b = node.inputs[2]
+            if b in graph.initializers:
+                bias = np.asarray(graph.initializers[b], np.float32)
+        else:
+            for consumer in consumers.get(node.outputs[0], []):
+                if consumer.op_type == "Add":
+                    for i in consumer.inputs:
+                        if (i in graph.initializers
+                                and graph.initializers[i].ndim == 1):
+                            bias = np.asarray(graph.initializers[i],
+                                              np.float32)
+        out.append((node, weight, bias))
+    return out
+
+
+def _take_matmul(entries, in_dim, out_dim, what):
+    for idx, (node, w, b) in enumerate(entries):
+        if w.shape == (in_dim, out_dim):
+            entries.pop(idx)
+            return w, b
+        if w.shape == (out_dim, in_dim) and in_dim != out_dim:
+            entries.pop(idx)
+            return w.T, b
+    raise ValueError(
+        f"Could not locate {what} weight of shape ({in_dim}, {out_dim}) "
+        f"in ONNX graph; remaining shapes: "
+        f"{[e[1].shape for e in entries]}")
+
+
+def import_gcn_params(graph: OnnxGraph, config: GCNConfig) -> dict:
+    """Map a DeepFRI GCN ONNX graph onto our parameter tree.
+
+    LSTM layers are matched in graph order; dense weights by expected shape
+    in topological order (see module docstring for caveats on exporter
+    naming — matching is structural, not name-based).
+    """
+    lstm_nodes = [n for n in graph.nodes if n.op_type == "LSTM"]
+    if len(lstm_nodes) != config.lm_layers:
+        raise ValueError(
+            f"Expected {config.lm_layers} LSTM layers, found "
+            f"{len(lstm_nodes)}; adjust GCNConfig.lm_layers")
+    lm = []
+    for node in lstm_nodes:
+        W = np.asarray(graph.initializers[node.inputs[1]], np.float32)
+        R = np.asarray(graph.initializers[node.inputs[2]], np.float32)
+        B = (np.asarray(graph.initializers[node.inputs[3]], np.float32)
+             if len(node.inputs) > 3 and node.inputs[3]
+             else np.zeros((W.shape[0], 8 * R.shape[-1]), np.float32))
+        lm.append(lstm_params_from_onnx(W, R, B))
+
+    entries = _topo_matmul_weights(graph)
+    lm_k, _ = _take_matmul(entries, config.lm_hidden, config.embed_dim,
+                           "LM embedding")
+    aa_k, aa_b = _take_matmul(entries, config.vocab, config.embed_dim,
+                              "AA embedding")
+    params = {
+        "lm": lm,
+        "lm_embed": {"kernel": jnp.asarray(lm_k)},
+        "aa_embed": {"kernel": jnp.asarray(aa_k),
+                     "bias": jnp.asarray(aa_b if aa_b is not None
+                                         else np.zeros(config.embed_dim,
+                                                       np.float32))},
+        "gc": [], "fc": [],
+    }
+    in_dim = config.embed_dim
+    for d in config.gc_dims:
+        k, _ = _take_matmul(entries, in_dim, d, "GraphConv")
+        params["gc"].append({"kernel": jnp.asarray(k)})
+        in_dim = d
+    in_dim = sum(config.gc_dims)
+    for d in config.fc_dims:
+        k, b = _take_matmul(entries, in_dim, d, "FC")
+        params["fc"].append({
+            "kernel": jnp.asarray(k),
+            "bias": jnp.asarray(b if b is not None
+                                else np.zeros(d, np.float32))})
+        in_dim = d
+    k, b = _take_matmul(entries, in_dim, 2 * config.n_labels, "head")
+    params["head"] = {"kernel": jnp.asarray(k),
+                      "bias": jnp.asarray(b if b is not None
+                                          else np.zeros(2 * config.n_labels,
+                                                        np.float32))}
+    return params
+
+
+def import_cnn_params(graph: OnnxGraph, config: CNNConfig) -> dict:
+    conv_nodes = [n for n in graph.nodes if n.op_type == "Conv"]
+    if len(conv_nodes) != len(config.conv_kernels):
+        raise ValueError(
+            f"Expected {len(config.conv_kernels)} Conv branches, found "
+            f"{len(conv_nodes)}")
+    params = {"conv": [], "fc": []}
+    # Match conv branches by kernel width.
+    by_width = {}
+    for node in conv_nodes:
+        w = np.asarray(graph.initializers[node.inputs[1]], np.float32)
+        b = (np.asarray(graph.initializers[node.inputs[2]], np.float32)
+             if len(node.inputs) > 2 else np.zeros(w.shape[0], np.float32))
+        by_width.setdefault(w.shape[-1], []).append((w, b))
+    for ksize in config.conv_kernels:
+        if ksize not in by_width or not by_width[ksize]:
+            raise ValueError(f"No Conv branch with kernel size {ksize}")
+        w, b = by_width[ksize].pop(0)
+        params["conv"].append({
+            "kernel": jnp.asarray(np.transpose(w, (2, 1, 0))),
+            "bias": jnp.asarray(b)})
+
+    entries = _topo_matmul_weights(graph)
+    in_dim = config.conv_filters * len(config.conv_kernels)
+    for d in config.fc_dims:
+        k, b = _take_matmul(entries, in_dim, d, "FC")
+        params["fc"].append({
+            "kernel": jnp.asarray(k),
+            "bias": jnp.asarray(b if b is not None
+                                else np.zeros(d, np.float32))})
+        in_dim = d
+    k, b = _take_matmul(entries, in_dim, 2 * config.n_labels, "head")
+    params["head"] = {"kernel": jnp.asarray(k),
+                      "bias": jnp.asarray(b if b is not None
+                                          else np.zeros(2 * config.n_labels,
+                                                        np.float32))}
+    return params
+
+
+def infer_n_labels(graph: OnnxGraph) -> int:
+    """Read n_labels from the graph output shape (1, n_labels, 2)."""
+    for vi in graph.outputs:
+        dims = [d for d in vi.shape if isinstance(d, int)]
+        if len(vi.shape) == 3 and isinstance(vi.shape[1], int):
+            return vi.shape[1]
+    raise ValueError("Could not infer n_labels from ONNX graph outputs")

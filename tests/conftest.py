@@ -2,13 +2,22 @@
 
 Multi-chip sharding tests simulate a pod slice via
 ``--xla_force_host_platform_device_count`` (SURVEY.md §4: the reference has no
-distributed tests; we create them). Must run before jax is imported anywhere.
+distributed tests; we create them).
+
+Note: this environment pins ``JAX_PLATFORMS=axon`` (a tunneled TPU) via
+sitecustomize, and re-exports of the env var are ignored — the only reliable
+override is ``jax.config.update`` before first backend use. Tests must run on
+CPU: eager dispatch over the TPU tunnel is orders of magnitude too slow for a
+unit suite.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
