@@ -1,0 +1,96 @@
+"""Batched engine tests: bucketed batch results must equal per-protein runs."""
+
+import numpy as np
+
+import jax
+
+from metagenomic_deepfri_tpu.batching.buckets import (assign_bucket,
+                                                      bucket_plan,
+                                                      gcn_batch_size)
+from metagenomic_deepfri_tpu.batching.engine import (BatchedPredictor,
+                                                     ModelHandle)
+from metagenomic_deepfri_tpu.models.deepfri import (CNNConfig, GCNConfig,
+                                                    forward_pass_single,
+                                                    init_cnn, init_gcn)
+from metagenomic_deepfri_tpu.ops.contact import calculate_contact_map
+
+GCN_CFG = GCNConfig(n_labels=4, lm_hidden=8, lm_layers=1, embed_dim=16,
+                    gc_dims=(8, 8), fc_dims=(16,), adj_norm="none")
+CNN_CFG = CNNConfig(n_labels=3, conv_filters=8, conv_kernels=(3,),
+                    fc_dims=(16,))
+
+
+def _mk_items(n, rng, min_len=5, max_len=200):
+    items = []
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    for i in range(n):
+        L = int(rng.integers(min_len, max_len))
+        seq = "".join(rng.choice(list(aas), size=L))
+        coords = (rng.normal(size=(L, 3)) * 6).astype(np.float32)
+        cmap = calculate_contact_map(coords, threshold=6.0)
+        items.append((f"q{i}", seq, cmap))
+    return items
+
+
+class TestBuckets:
+    def test_assign(self):
+        assert assign_bucket(5) == 128
+        assert assign_bucket(128) == 128
+        assert assign_bucket(129) == 256
+        assert assign_bucket(2048) == 2048
+
+    def test_plan(self):
+        plan = bucket_plan([10, 300, 120, 600])
+        assert plan == {128: [0, 2], 512: [1], 1024: [3]}
+
+    def test_batch_size_constant_footprint(self):
+        assert gcn_batch_size(128) * 128 ** 2 <= 40 * 1024 * 1024
+        assert gcn_batch_size(1024) >= 1
+
+
+class TestBatchedPredictor:
+    def test_gcn_matches_single(self):
+        rng = np.random.default_rng(11)
+        params = init_gcn(jax.random.PRNGKey(0), GCN_CFG)
+        handle = ModelHandle("gcn", "mf", GCN_CFG, params)
+        engine = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4)
+        items = _mk_items(7, rng)
+        out = engine.predict_gcn(items)
+        assert set(out["mf"]) == {f"q{i}" for i in range(7)}
+        for qid, seq, cmap in items[:3]:
+            single = np.asarray(forward_pass_single(
+                params, GCN_CFG, seq, cmap.astype(np.float32)))
+            np.testing.assert_allclose(out["mf"][qid], single,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_cnn_matches_single(self):
+        rng = np.random.default_rng(12)
+        params = init_cnn(jax.random.PRNGKey(1), CNN_CFG)
+        handle = ModelHandle("cnn", "bp", CNN_CFG, params)
+        engine = BatchedPredictor(cnn_models={"bp": handle}, batch_cap=4)
+        items = [(qid, seq) for qid, seq, _ in _mk_items(5, rng)]
+        out = engine.predict_cnn(items)
+        for qid, seq in items[:2]:
+            single = np.asarray(forward_pass_single(params, CNN_CFG, seq))
+            np.testing.assert_allclose(out["bp"][qid], single,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_multi_mode_single_pass(self):
+        rng = np.random.default_rng(13)
+        handles = {}
+        for mode, seed in (("mf", 2), ("bp", 3)):
+            handles[mode] = ModelHandle(
+                "gcn", mode, GCN_CFG, init_gcn(jax.random.PRNGKey(seed),
+                                               GCN_CFG))
+        engine = BatchedPredictor(gcn_models=handles, batch_cap=4)
+        items = _mk_items(3, rng)
+        out = engine.predict_gcn(items)
+        assert set(out) == {"mf", "bp"}
+        # different weights → different scores
+        q = items[0][0]
+        assert not np.allclose(out["mf"][q], out["bp"][q])
+
+    def test_empty_items(self):
+        engine = BatchedPredictor(gcn_models={}, cnn_models={})
+        assert engine.predict_gcn([]) == {}
+        assert engine.predict_cnn([]) == {}
