@@ -1,0 +1,336 @@
+"""Command-line interface.
+
+Verb-for-verb parity with the reference CLI (reference ``mDeepFRI/cli.py``):
+``get-models`` (:244-268), ``generate-config`` (:271-300),
+``search-databases`` (:303-335), ``predict-function`` (:338-497),
+``make-cmaps`` (:500-530), with the same shared ``search_options`` flag set
+(:96-221), default thresholds (the clinical-grade foldseek-paper values), and
+the full-help-on-usage-error patch (:67-92). Adds ``benchmark`` (device
+throughput) — the reference keeps its benchmarks out-of-package.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from functools import wraps
+from pathlib import Path
+
+import click
+import numpy as np
+from click.exceptions import UsageError
+
+from metagenomic_deepfri_tpu import __version__
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logging(debug: bool = False):
+    """Root logger configuration (reference cli.py:46-56)."""
+    logging.basicConfig(
+        level=logging.DEBUG if debug else logging.INFO,
+        format="[%(asctime)s] %(module)s.%(funcName)s %(levelname)s: "
+               "%(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+        handlers=[logging.StreamHandler(sys.stdout)],
+        force=True,
+    )
+
+
+def log_command_params(ctx: click.Context):
+    """Dump invocation parameters to the log (reference cli.py:59-64)."""
+    logger.info("Command parameters:")
+    max_key_len = max(len(k) for k in ctx.params)
+    for key, value in ctx.params.items():
+        logger.info(f"{key:<{max_key_len + 2}} : {value}")
+
+
+def patch_usage_error():
+    """Print the full help before a usage error (reference cli.py:67-92)."""
+    original_show = UsageError.show
+
+    def _show_with_help(self, file=None):
+        if self.ctx is not None:
+            click.echo(self.ctx.get_help() + "\n", file=file,
+                       color=self.ctx.color)
+        original_show(self, file=file)
+
+    UsageError.show = _show_with_help
+
+
+def search_options(function):
+    """Shared search flags (reference cli.py:96-221; defaults from
+    https://doi.org/10.1038/s41586-023-06510-w)."""
+
+    @click.option("--tmpdir", default=None,
+                  type=click.Path(exists=False, file_okay=False,
+                                  dir_okay=True, path_type=Path),
+                  help="Path to a temporary directory. Required for very "
+                       "large searches.")
+    @click.option("--skip-pdb", default=False, is_flag=True,
+                  help="Skip PDB100 database search.")
+    @click.option("-t", "--threads", default=1, type=int, show_default=True,
+                  help="Number of threads to use.")
+    @click.option("--overwrite", default=False, is_flag=True,
+                  help="Overwrite existing files.")
+    @click.option("--top-k", default=5, type=int, show_default=True,
+                  help="Number of top search hits to save.")
+    @click.option("--mmseqs-min-coverage", default=0.9, type=float,
+                  show_default=True,
+                  help="Minimum coverage for search hits (query and target).")
+    @click.option("--mmseqs-min-identity", default=0.5, type=float,
+                  show_default=True,
+                  help="Minimum identity for search hits.")
+    @click.option("--mmseqs-max-evalue", default=0.001, type=float,
+                  show_default=True, help="Maximum e-value for search hits.")
+    @click.option("--mmseqs-min-bitscore", default=0, type=float,
+                  show_default=True, help="Minimum bitscore for search hits.")
+    @click.option("--max-length", default=None, type=int,
+                  help="Maximum length of the protein sequence.")
+    @click.option("--min-length", default=None, type=int,
+                  help="Minimum length of the protein sequence.")
+    @click.option("-s", "--mmseqs-sensitivity", default=5.7,
+                  type=click.FloatRange(1, 7.5), show_default=True,
+                  help="Sensitivity of the MMseqs2 search.")
+    @click.option("-d", "--db-path", required=False,
+                  type=click.Path(exists=True, dir_okay=False, file_okay=True,
+                                  path_type=Path),
+                  multiple=True,
+                  help="Path to a structures database (FoldComp or FASTA).")
+    @click.option("-o", "--output", required=True,
+                  type=click.Path(exists=False, path_type=Path),
+                  help="Path to output file or directory.")
+    @click.option("-i", "--input", required=True,
+                  type=click.Path(exists=True, dir_okay=False, readable=True,
+                                  path_type=Path),
+                  help="Path to input protein sequences (FASTA file, may be "
+                       "gzipped).")
+    @wraps(function)
+    def wrapper(*args, **kwargs):
+        return function(*args, **kwargs)
+
+    return wrapper
+
+
+@click.group()
+@click.option("--debug/--no-debug", default=False)
+@click.version_option(version=__version__)
+def main(debug):
+    """metagenomic-deepfri-tpu — TPU-native protein function annotation."""
+    for log in [logging.getLogger(name)
+                for name in logging.root.manager.loggerDict]:
+        log.setLevel(logging.DEBUG if debug else logging.INFO)
+    patch_usage_error()
+    setup_logging(debug)
+
+
+@main.command()
+@click.option("-o", "--output", required=True,
+              type=click.Path(file_okay=False, dir_okay=True, writable=True,
+                              path_type=Path),
+              help="Path to folder where the model weights will be "
+                   "downloaded.")
+@click.option("-v", "--version", required=True,
+              type=click.Choice(["1.0", "1.1"]), help="Version of the model.")
+def get_models(output, version):
+    """Download model weights (ONNX + vocabularies) for DeepFRI."""
+    from metagenomic_deepfri_tpu.utils import (download_model_weights,
+                                               generate_config_json)
+
+    logger.info("Downloading DeepFRI models.")
+    output_path = Path(output)
+    output_path.mkdir(parents=True, exist_ok=True)
+    download_model_weights(output_path, version)
+    generate_config_json(output_path, version)
+    logger.info("DeepFRI models v%s downloaded to %s.", version, output_path)
+
+
+@main.command()
+@click.option("-w", "--weights_path", required=True,
+              type=click.Path(exists=True, dir_okay=True, file_okay=False,
+                              path_type=Path),
+              help="Path to a folder containing model weights.")
+@click.option("-v", "--version", required=True,
+              type=click.Choice(["1.0", "1.1"]), help="Version of the model.")
+def generate_config(weights_path, version):
+    """Generate model_config.json for manually downloaded weights."""
+    from metagenomic_deepfri_tpu.utils import generate_config_json
+
+    logger.info("Generating config file.")
+    generate_config_json(Path(weights_path), version)
+    logger.info("Config file generated in %s.", weights_path)
+
+
+@main.command()
+@search_options
+@click.pass_context
+def search_databases(ctx, input, output, db_path, mmseqs_sensitivity,
+                     min_length, max_length, mmseqs_min_bitscore,
+                     mmseqs_max_evalue, mmseqs_min_identity,
+                     mmseqs_min_coverage, top_k, overwrite, threads, skip_pdb,
+                     tmpdir):
+    """Hierarchically search structure databases for similar proteins."""
+    from metagenomic_deepfri_tpu.pipeline import (
+        hierarchical_database_search, load_query_file)
+
+    log_command_params(ctx)
+    query_file = load_query_file(query_file=input, min_length=min_length,
+                                 max_length=max_length)
+    hierarchical_database_search(query_file=query_file,
+                                 databases=db_path,
+                                 output_path=output,
+                                 mmseqs_sensitivity=mmseqs_sensitivity,
+                                 min_bits=mmseqs_min_bitscore,
+                                 max_eval=mmseqs_max_evalue,
+                                 min_ident=mmseqs_min_identity,
+                                 min_coverage=mmseqs_min_coverage,
+                                 top_k=top_k,
+                                 skip_pdb=skip_pdb,
+                                 overwrite=overwrite,
+                                 tmpdir=tmpdir,
+                                 threads=threads)
+
+
+@main.command()
+@search_options
+@click.option("-w", "--weights", required=True,
+              type=click.Path(exists=True, dir_okay=True, file_okay=False,
+                              path_type=Path),
+              help="Path to a folder containing model weights.")
+@click.option("-p", "--processing-modes", default=["bp", "cc", "ec", "mf"],
+              type=click.Choice(["bp", "cc", "ec", "mf"]), multiple=True,
+              help="Processing modes. Default is all (biological process, "
+                   "cellular component, enzyme commission, molecular "
+                   "function).")
+@click.option("-a", "--angstrom-contact-thresh", default=6, type=float,
+              help="Angstrom contact threshold. Default is 6.")
+@click.option("--generate-contacts", default=2, type=int,
+              help="Gap fill threshold during contact map alignment.")
+@click.option("--alignment-gap-open", default=10, type=int,
+              help="Gap open penalty for alignment.")
+@click.option("--alignment-gap-extend", default=1, type=int,
+              help="Gap extend penalty for alignment.")
+@click.option("--remove-intermediate", default=False, is_flag=True,
+              help="Remove intermediate files.")
+@click.option("--save-structures", default=False, is_flag=True,
+              help="Save structures of the top hits.")
+@click.option("--save-cmaps", default=False, is_flag=True,
+              help="Save contact maps of the top hits.")
+@click.option("--skip-matrix", default=False, is_flag=True,
+              help="Skip writing prediction matrix files (saves disk space).")
+@click.option("--scoring-matrix", default="VTML80", type=str,
+              show_default=True,
+              help="Scoring matrix for sequence alignment (name or NCBI "
+                   "matrix file).")
+@click.option("--propagate-go-terms", default=False, is_flag=True,
+              help="Propagate GO terms up the ontology DAG (true-path rule).")
+@click.option("--obo-path", default=None,
+              type=click.Path(dir_okay=False, path_type=Path),
+              help="Path to a GO OBO file (go-basic.obo); downloaded "
+                   "automatically when needed if not provided.")
+@click.pass_context
+def predict_function(ctx, input, db_path, weights, output, processing_modes,
+                     angstrom_contact_thresh, generate_contacts,
+                     mmseqs_sensitivity, mmseqs_min_bitscore,
+                     mmseqs_max_evalue, mmseqs_min_identity,
+                     mmseqs_min_coverage, top_k, alignment_gap_open,
+                     alignment_gap_extend, remove_intermediate, overwrite,
+                     threads, skip_pdb, min_length, max_length, tmpdir,
+                     save_structures, save_cmaps, skip_matrix, scoring_matrix,
+                     propagate_go_terms, obo_path):
+    """Predict protein function from sequence (full pipeline)."""
+    from metagenomic_deepfri_tpu.pipeline import (
+        hierarchical_database_search, load_query_file,
+        predict_protein_function)
+
+    logger.info("Starting metagenomic-deepfri-tpu.")
+    output_path = Path(output)
+    output_path.mkdir(parents=True, exist_ok=True)
+    log_command_params(ctx)
+
+    query_file = load_query_file(query_file=input, min_length=min_length,
+                                 max_length=max_length)
+    deepfri_dbs = hierarchical_database_search(
+        query_file=query_file,
+        output_path=output_path / "database_search",
+        databases=db_path,
+        mmseqs_sensitivity=mmseqs_sensitivity,
+        min_bits=mmseqs_min_bitscore,
+        max_eval=mmseqs_max_evalue,
+        min_ident=mmseqs_min_identity,
+        min_coverage=mmseqs_min_coverage,
+        top_k=top_k,
+        skip_pdb=skip_pdb,
+        overwrite=overwrite,
+        tmpdir=tmpdir,
+        threads=threads)
+
+    # refresh the query file: the search mutates it (reference cli.py:473-479)
+    query_file = load_query_file(query_file=input, min_length=min_length,
+                                 max_length=max_length)
+
+    predict_protein_function(
+        query_file=query_file,
+        databases=tuple(deepfri_dbs),
+        weights=weights,
+        output_path=output_path,
+        deepfri_processing_modes=list(processing_modes),
+        angstrom_contact_threshold=angstrom_contact_thresh,
+        generate_contacts=generate_contacts,
+        alignment_gap_open=alignment_gap_open,
+        alignment_gap_continuation=alignment_gap_extend,
+        remove_intermediate=remove_intermediate,
+        threads=threads,
+        save_structures=save_structures,
+        save_cmaps=save_cmaps,
+        skip_matrix=skip_matrix,
+        scoring_matrix=scoring_matrix,
+        propagate_go_terms=propagate_go_terms,
+        obo_path=obo_path)
+
+
+@main.command()
+@click.option("--input_dir", "-i", type=click.Path(exists=True),
+              required=True, help="Directory containing PDB or mmCIF files.")
+@click.option("--output_dir", "-o", type=click.Path(), required=True,
+              help="Directory to save computed contact maps.")
+@click.option("--threshold", "-t", default=6.0, show_default=True,
+              help="Distance threshold in Å for contact map.")
+def make_cmaps(input_dir, output_dir, threshold):
+    """Compute CA contact maps for all PDB/mmCIF files in a directory."""
+    from metagenomic_deepfri_tpu.bio_utils import (calculate_contact_map,
+                                                   get_residues_coordinates,
+                                                   load_structure)
+
+    os.makedirs(output_dir, exist_ok=True)
+    for fname in os.listdir(input_dir):
+        if not fname.endswith((".pdb", ".cif")):
+            continue
+        filetype = "pdb" if fname.endswith(".pdb") else "mmcif"
+        with open(os.path.join(input_dir, fname), encoding="utf-8") as f:
+            structure_str = f.read()
+        residues, coords = get_residues_coordinates(
+            load_structure(structure_str, filetype), chain="A")
+        cmap = calculate_contact_map(coords, threshold)
+        np.save(os.path.join(output_dir, fname.replace(".pdb", "_cmap.npy")),
+                cmap)
+
+
+@main.command()
+@click.option("--bucket", default=512, type=int, show_default=True,
+              help="Length bucket to benchmark.")
+@click.option("--batches", default=8, type=int, show_default=True,
+              help="Number of timed batches.")
+@click.option("--n-labels", default=512, type=int, show_default=True)
+def benchmark(bucket, batches, n_labels):
+    """Measure GCN inference throughput (proteins/sec) on this device."""
+    from metagenomic_deepfri_tpu.bench_utils import run_gcn_benchmark
+
+    result = run_gcn_benchmark(bucket=bucket, batches=batches,
+                               n_labels=n_labels)
+    click.echo(result)
+
+
+if __name__ == "__main__":
+    main()

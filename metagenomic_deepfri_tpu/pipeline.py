@@ -1,0 +1,473 @@
+"""Pipeline orchestration: hierarchical search → alignment → batched inference.
+
+Behaviour parity with reference ``mDeepFRI/pipeline.py``:
+
+- ``load_query_file`` (:66-104): load, drop selenoproteins, length-filter.
+- ``hierarchical_database_search`` (:107-267): PDB100 first unless skipped,
+  then user databases in order; per-DB filter (coverage/identity/bits) and
+  top-k; per-DB results TSV; queries with non-PDB hits removed from later
+  searches while PDB hits stay in play for predicted-structure rescue.
+- ``predict_protein_function`` (:322-772): per-DB re-alignment → coords →
+  contact-map alignment → ``alignment_summary.tsv`` → per-mode prediction
+  matrices (split per network when GCN/CNN vocabularies differ) →
+  ``results.tsv`` (score ≥ 0.1, sorted desc) → optional GO propagation →
+  optional cleanup.
+
+The execution core differs: instead of a serial per-protein ONNX loop
+(reference :292-319), all proteins are packed into length-bucketed device
+batches and every requested mode runs while a batch is resident
+(:mod:`.batching.engine`).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import logging
+import pathlib
+import pickle
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+from tqdm import tqdm
+
+from metagenomic_deepfri_tpu import DEEPFRI_MODES
+from metagenomic_deepfri_tpu.align.pairwise import align_mmseqs_results
+from metagenomic_deepfri_tpu.batching.engine import BatchedPredictor
+from metagenomic_deepfri_tpu.bio_utils import build_align_contact_map
+from metagenomic_deepfri_tpu.models.registry import load_models
+from metagenomic_deepfri_tpu.search.database import Database, build_database
+from metagenomic_deepfri_tpu.search.pdb import (create_pdb_mmseqs,
+                                                extract_calpha_coords)
+from metagenomic_deepfri_tpu.search.query import QueryFile
+from metagenomic_deepfri_tpu.search.results import SearchResults
+from metagenomic_deepfri_tpu.utils import (get_json_values,
+                                           remove_intermediate_files)
+
+logger = logging.getLogger(__name__)
+
+ALIGNMENT_HEADER = [
+    "query_id", "aligned", "target_id", "db_name", "query_identity",
+    "query_coverage", "target_coverage",
+]
+FINAL_OUTPUT_HEADER = [
+    "protein", "network_type", "prediction_mode", "go_term", "score",
+    "go_name", "aligned", "target_id", "db_name", "query_identity",
+    "query_coverage", "target_coverage",
+]
+NAN_ALIGNMENT_INFO = [np.nan] * 6
+SCORE_THRESHOLD = 0.1  # reference pipeline.py:701,735
+
+
+def load_query_file(query_file,
+                    min_length: Optional[int] = None,
+                    max_length: Optional[int] = None) -> QueryFile:
+    """Load + filter sequences (reference pipeline.py:66-104)."""
+    qf = QueryFile(filepath=query_file)
+    qf.load_sequences()
+    removed_seleno = qf.remove_selenocysteine()
+    if removed_seleno:
+        logger.info("Removed %d selenoproteins (U residues): %s",
+                    len(removed_seleno), ", ".join(removed_seleno))
+    if min_length or max_length:
+        lo = min_length or 0
+        hi = max_length or float("inf")
+        qf.filter_sequences(lambda x: lo <= len(x) <= hi)
+    return qf
+
+
+def hierarchical_database_search(query_file: QueryFile,
+                                 output_path,
+                                 databases: Iterable = (),
+                                 mmseqs_sensitivity: float = 5.7,
+                                 min_bits: float = 0,
+                                 max_eval: float = 1e-5,
+                                 min_ident: float = 0.5,
+                                 min_coverage: float = 0.9,
+                                 top_k: int = 5,
+                                 skip_pdb: bool = False,
+                                 overwrite: bool = False,
+                                 tmpdir=None,
+                                 threads: int = 1) -> List[Database]:
+    """Search each database in order, filter + top-k, persist per-DB TSVs
+    (reference pipeline.py:107-267)."""
+    output_path = pathlib.Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+    sequence_num_start = len(query_file.sequences)
+
+    for idx, seq in query_file.filtered_out.items():
+        logger.info("Skipping %s; sequence length %d aa.", idx, len(seq))
+
+    dbs: List[Database] = []
+    if not skip_pdb:
+        logger.info("Creating PDB100 database.")
+        dbs.append(create_pdb_mmseqs(threads=threads))
+        logger.info("PDB100 database created.")
+    for database in databases:
+        database = pathlib.Path(database)
+        dbs.append(build_database(input_path=database,
+                                  output_path=database.parent,
+                                  overwrite=overwrite,
+                                  threads=threads))
+
+    aligned_total = 0
+    pdb_hits: set = set()
+    for db in dbs:
+        results = query_file.search(db.mmseqs_db,
+                                    mmseqs_sensitivity=mmseqs_sensitivity,
+                                    eval=max_eval,
+                                    threads=threads,
+                                    tmpdir=tmpdir)
+        filtered = results.apply_filters(min_cov=min_coverage,
+                                         min_bits=min_bits,
+                                         min_ident=min_ident)
+        best_matches = filtered.find_best_matches(top_k, threads=threads)
+        best_matches.query_fasta = results.query_fasta
+        best_matches.database = str(db.sequence_db)
+
+        mmseqs_results_path = output_path / f"{db.name}_results.tsv"
+        best_matches.save(mmseqs_results_path)
+        db.mmseqs_result = mmseqs_results_path
+
+        all_hits = (np.unique(best_matches["query"])
+                    if len(best_matches) else np.array([]))
+        unique_hits = all_hits
+        if "pdb100" in db.name:
+            pdb_hits.update(all_hits.tolist())
+        elif not skip_pdb:
+            unique_hits = [h for h in all_hits if h not in pdb_hits]
+
+        aligned_db = len(unique_hits)
+        aligned_total += aligned_db
+        denom = max(sequence_num_start, 1)
+        logger.info("Aligned %d/%d (%.2f%%) proteins against %s.",
+                    aligned_db, sequence_num_start,
+                    aligned_db / denom * 100, db.name)
+        logger.info("Aligned %d/%d (%.2f%%) proteins in total.",
+                    aligned_total, sequence_num_start,
+                    aligned_total / denom * 100)
+
+        # queries hit in non-PDB DBs drop out of subsequent searches; PDB
+        # hits are re-searched against predicted DBs to rescue failed
+        # contact-map alignments (reference pipeline.py:259-265)
+        if "pdb100" not in db.name:
+            query_file.remove_sequences(list(all_hits))
+    return dbs
+
+
+def _initialize_processing_modes(modes: List[str],
+                                 config: Dict[str, Any]) -> List[str]:
+    """v1.1 models drop EC prediction (reference pipeline.py:274-289)."""
+    filtered = list(modes)
+    if config.get("version") == "1.1" and "ec" in filtered:
+        filtered.remove("ec")
+        logger.info("EC number prediction is not supported in version 1.1.")
+    if not filtered:
+        raise ValueError("No processing modes selected.")
+    return filtered
+
+
+def _load_blocklist(db_name: str) -> set:
+    """Known-broken FoldComp entries (reference pipeline.py:432-444 ships a
+    pickle asset for highquality_clust30; we look for the same file next to
+    the package or via MDEEPFRI_BLOCKLIST)."""
+    import os
+
+    candidates = []
+    env = os.environ.get("MDEEPFRI_BLOCKLIST")
+    if env:
+        candidates.append(pathlib.Path(env))
+    candidates.append(pathlib.Path(__file__).parent / "assets"
+                      / f"{db_name}_error_ids.pkl")
+    for path in candidates:
+        if path.exists():
+            with open(path, "rb") as f:
+                return set(pickle.load(f))
+    return set()
+
+
+def predict_protein_function(
+        query_file: QueryFile,
+        databases: Tuple[Database, ...],
+        weights,
+        output_path,
+        deepfri_processing_modes: List[str] = ["ec", "bp", "mf", "cc"],
+        angstrom_contact_threshold: float = 6,
+        generate_contacts: int = 2,
+        alignment_gap_open: float = 10,
+        alignment_gap_continuation: float = 1,
+        remove_intermediate: bool = False,
+        threads: int = 1,
+        save_structures: bool = False,
+        save_cmaps: bool = False,
+        skip_matrix: bool = False,
+        scoring_matrix: str = "VTML80",
+        propagate_go_terms: bool = False,
+        obo_path=None):
+    """Main prediction phase (reference pipeline.py:322-772)."""
+    from metagenomic_deepfri_tpu.utils import load_deepfri_config
+
+    deepfri_models_config = load_deepfri_config(weights)
+    deepfri_processing_modes = _initialize_processing_modes(
+        deepfri_processing_modes, deepfri_models_config)
+
+    output_path = pathlib.Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+
+    # ---- alignment + contact-map stage --------------------------------------
+    aligned_cmaps: List[tuple] = []
+    for db in databases:
+        alignments = align_mmseqs_results(
+            best_matches_filepath=db.mmseqs_result,
+            sequence_db=db.sequence_db,
+            alignment_gap_open=alignment_gap_open,
+            alignment_gap_extend=alignment_gap_continuation,
+            threads=threads,
+            scoring_matrix=scoring_matrix)
+        if not alignments:
+            logger.info("No alignments found for %s.", db.name)
+            continue
+        for aln in alignments:
+            aln.db_name = db.name
+
+        aligned_queries = [a[0].query_name for a in aligned_cmaps]
+        new_alignments = {
+            aln.query_name: aln
+            for aln in alignments
+            if aln.query_name not in aligned_queries
+            and aln.query_name in query_file.sequences
+        }
+
+        blocklist = _load_blocklist(db.name)
+        if blocklist:
+            new_alignments = {
+                q: a for q, a in new_alignments.items()
+                if a.target_name not in blocklist
+            }
+        if not new_alignments:
+            continue
+
+        query_ids = [a.query_name for a in new_alignments.values()]
+        target_ids = [a.target_name.rsplit(".", 1)[0]
+                      for a in new_alignments.values()]
+
+        save_dir = None
+        if save_structures:
+            save_dir = output_path / "structures" / db.name
+            save_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            coords = extract_calpha_coords(db, target_ids, query_ids,
+                                           save_directory=save_dir,
+                                           threads=threads)
+        except RuntimeError as e:
+            logger.warning("Coordinate extraction failed for %s (%s); "
+                           "queries fall back to sequence-only prediction.",
+                           db.name, e)
+            continue
+        for aln, coord in zip(new_alignments.values(), coords):
+            aln.coords = coord
+
+        map_align = partial(build_align_contact_map,
+                            threshold=angstrom_contact_threshold,
+                            generated_contacts=generate_contacts)
+        with ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
+            cmaps = list(pool.map(map_align, new_alignments.values()))
+
+        partial_cmaps = [c for c in cmaps if c[1] is not None]
+        aligned_cmaps.extend(partial_cmaps)
+        denom = max(len(query_file.sequences), 1)
+        logger.info(
+            "Aligned %d/%d (%.2f%%) proteins against %s "
+            "[without length invalid].", len(partial_cmaps), denom,
+            len(partial_cmaps) / denom * 100, db.name)
+        logger.info(
+            "Aligned %d/%d (%.2f%%) proteins in total "
+            "[without length invalid].", len(aligned_cmaps), denom,
+            len(aligned_cmaps) / denom * 100)
+
+    if save_cmaps:
+        cmap_dir = output_path / "contact_maps"
+        cmap_dir.mkdir(parents=True, exist_ok=True)
+        for aln, cmap in aligned_cmaps:
+            np.save(cmap_dir / f"{aln.query_name}.npy", cmap)
+
+    aligned_queries = [a[0].query_name for a in aligned_cmaps]
+    unaligned_queries = {
+        qid: seq for qid, seq in query_file.sequences.items()
+        if qid not in aligned_queries
+    }
+
+    # ---- alignment summary ---------------------------------------------------
+    alignment_results_file = output_path / "alignment_summary.tsv"
+    with open(alignment_results_file, "w", encoding="utf-8",
+              newline="") as aln_output:
+        writer = csv.writer(aln_output, delimiter="\t")
+        writer.writerow(ALIGNMENT_HEADER)
+        for aln, _ in aligned_cmaps:
+            writer.writerow([
+                aln.query_name, True, aln.target_name, aln.db_name,
+                aln.query_identity, aln.query_coverage, aln.target_coverage,
+            ])
+        for qid in unaligned_queries:
+            writer.writerow([qid, False, np.nan, np.nan, np.nan, np.nan,
+                             np.nan])
+
+    # ---- batched inference -----------------------------------------------------
+    aligned_cmaps = sorted(aligned_cmaps,
+                           key=lambda x: len(x[0].query_sequence))
+    unaligned_queries = dict(
+        sorted(unaligned_queries.items(), key=lambda x: len(x[1])))
+
+    gcn_handles, cnn_handles, _ = load_models(weights,
+                                              deepfri_processing_modes)
+    predictor = BatchedPredictor(gcn_models=gcn_handles,
+                                 cnn_models=cnn_handles)
+
+    gcn_items = [(aln.query_name, aln.query_sequence, cmap)
+                 for aln, cmap in aligned_cmaps]
+    cnn_items = list(unaligned_queries.items())
+
+    bar = tqdm(total=(len(gcn_items) + len(cnn_items))
+               * len(deepfri_processing_modes),
+               desc="Predicting", file=sys.stdout, mininterval=10)
+
+    def progress(n):
+        bar.update(n * len(deepfri_processing_modes))
+
+    gcn_scores = predictor.predict_gcn(gcn_items,
+                                       modes=list(gcn_handles),
+                                       progress_cb=progress)
+    cnn_scores = predictor.predict_cnn(cnn_items,
+                                       modes=list(cnn_handles),
+                                       progress_cb=progress)
+    bar.close()
+
+    # ---- prediction matrices (reference pipeline.py:540-655) -----------------
+    matrix_jobs_by_mode: Dict[str, List[Dict[str, Any]]] = {}
+    for i, mode in enumerate(deepfri_processing_modes):
+        gcn_handle = gcn_handles.get(mode)
+        cnn_handle = cnn_handles.get(mode)
+        goterms_gcn = gcn_handle.goterms if gcn_handle else []
+        goterms_cnn = cnn_handle.goterms if cnn_handle else []
+        split_matrices = (len(goterms_gcn) != len(goterms_cnn)
+                          or goterms_gcn != goterms_cnn)
+        logger.info("Processing mode: %s; %d/%d", DEEPFRI_MODES[mode], i + 1,
+                    len(deepfri_processing_modes))
+        if split_matrices:
+            logger.info(
+                "GCN and CNN use different output vocabularies for mode %s "
+                "(%d vs %d labels). Writing separate "
+                "prediction_matrix_%s_*.tsv files.", mode, len(goterms_gcn),
+                len(goterms_cnn), mode)
+        matrix_jobs_by_mode[mode] = []
+
+        def write_matrix(filename, goterms, jobs):
+            """jobs: list of (query_id, net_type, scores)"""
+            if skip_matrix:
+                sink = io.StringIO()
+                fh = sink
+            else:
+                sink = output_path / filename
+                fh = open(sink, "w", encoding="utf-8", newline="")
+            writer = csv.writer(fh, delimiter="\t")
+            writer.writerow(["protein", "network_type"] + list(goterms))
+            for qid, net, scores in jobs:
+                writer.writerow([qid, net] + [float(s) for s in scores])
+            if not skip_matrix:
+                fh.close()
+            return sink
+
+        gcn_rows = [(qid, "gcn", gcn_scores[mode][qid])
+                    for qid, _, _ in gcn_items] if gcn_handle else []
+        cnn_rows = [(qid, "cnn", cnn_scores[mode][qid])
+                    for qid, _ in cnn_items] if cnn_handle else []
+
+        if split_matrices:
+            if gcn_rows:
+                src = write_matrix(f"prediction_matrix_{mode}_gcn.tsv",
+                                   goterms_gcn, gcn_rows)
+                matrix_jobs_by_mode[mode].append(
+                    {"goterms": goterms_gcn,
+                     "gonames": gcn_handle.gonames, "matrix_source": src})
+            if cnn_rows:
+                src = write_matrix(f"prediction_matrix_{mode}_cnn.tsv",
+                                   goterms_cnn, cnn_rows)
+                matrix_jobs_by_mode[mode].append(
+                    {"goterms": goterms_cnn,
+                     "gonames": cnn_handle.gonames, "matrix_source": src})
+        else:
+            src = write_matrix(f"prediction_matrix_{mode}.tsv", goterms_gcn,
+                               gcn_rows + cnn_rows)
+            handle = gcn_handle or cnn_handle
+            matrix_jobs_by_mode[mode].append(
+                {"goterms": goterms_gcn or goterms_cnn,
+                 "gonames": handle.gonames, "matrix_source": src})
+
+    # ---- final results.tsv (reference pipeline.py:657-748) --------------------
+    with open(alignment_results_file, "r", encoding="utf-8") as aln_input:
+        reader = csv.reader(aln_input, delimiter="\t")
+        next(reader)
+        alignment_data = {row[0]: row[1:] for row in reader}
+
+    final_output = output_path / "results.tsv"
+    with open(final_output, "w", encoding="utf-8") as fout:
+        fout.write("\t".join(FINAL_OUTPUT_HEADER) + "\n")
+        for mode, jobs in matrix_jobs_by_mode.items():
+            for job in jobs:
+                source = job["matrix_source"]
+                gonames = job["gonames"]
+                if isinstance(source, io.StringIO):
+                    source.seek(0)
+                    reader = csv.reader(
+                        source.getvalue().strip().split("\n"),
+                        delimiter="\t")
+                else:
+                    reader = csv.reader(
+                        open(source, "r", encoding="utf-8"), delimiter="\t")
+                header = next(reader)
+                terms = header[2:]
+                term_to_name = dict(zip(terms, gonames))
+                for row in reader:
+                    qid, net = row[0], row[1]
+                    scores = row[2:]
+                    if len(scores) != len(terms):
+                        raise ValueError(
+                            f"Row length mismatch for mode {mode}: "
+                            f"{len(scores)} scores vs {len(terms)} terms.")
+                    term_score = {
+                        terms[k]: float(scores[k])
+                        for k in range(len(terms))
+                        if float(scores[k]) >= SCORE_THRESHOLD
+                    }
+                    for term, score in sorted(term_score.items(),
+                                              key=lambda kv: kv[1],
+                                              reverse=True):
+                        go_name = term_to_name.get(term, "Unknown")
+                        aln_info = alignment_data.get(qid, [np.nan] * 6)
+                        (aligned, target_id, database, target_identity,
+                         query_cov, target_cov) = aln_info
+                        fout.write(
+                            f"{qid}\t{net}\t{DEEPFRI_MODES[mode]}\t{term}\t"
+                            f"{score:.4f}\t{go_name}\t{aligned}\t{target_id}"
+                            f"\t{database}\t{target_identity}\t{query_cov}"
+                            f"\t{target_cov}\n")
+
+    if propagate_go_terms:
+        from metagenomic_deepfri_tpu.ontology.go import (download_obo,
+                                                         propagate_results)
+
+        obo_file = (pathlib.Path(obo_path) if obo_path
+                    else output_path / "go-basic.obo")
+        download_obo(obo_file)
+        propagate_results(results_path=final_output,
+                          output_path=output_path / "results_propagated.tsv",
+                          obo_path=obo_file)
+
+    if remove_intermediate:
+        for db in databases:
+            remove_intermediate_files([db.sequence_db, db.mmseqs_db])
+
+    logger.info("metagenomic-deepfri-tpu finished successfully.")

@@ -1,0 +1,189 @@
+"""End-to-end pipeline regression test.
+
+Runs the REAL ``predict_protein_function`` control flow (and the hierarchical
+search with the built-in engine) over synthetic queries, a synthetic sequence
+database, and real (randomly-initialised) models exported to ONNX and loaded
+back through the registry. Only the structure-coordinate fetch is patched
+(network/FoldComp), mirroring the reference's regression strategy
+(reference ``tests/test_pipeline_regression.py`` patches the same seam).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from metagenomic_deepfri_tpu.models.deepfri import CNNConfig, GCNConfig
+from metagenomic_deepfri_tpu.models.onnx_import import (export_cnn_to_onnx,
+                                                        export_gcn_to_onnx)
+from metagenomic_deepfri_tpu.models.deepfri import init_cnn, init_gcn
+from metagenomic_deepfri_tpu.data.fasta import write_fasta
+from metagenomic_deepfri_tpu.pipeline import (ALIGNMENT_HEADER,
+                                              FINAL_OUTPUT_HEADER,
+                                              hierarchical_database_search,
+                                              load_query_file,
+                                              predict_protein_function)
+from metagenomic_deepfri_tpu.utils import generate_config_json
+
+MODES = ["bp", "cc", "mf", "ec"]
+N_LABELS = 6
+GOTERMS = [f"GO:000000{i}" for i in range(N_LABELS)]
+GONAMES = [f"term {i}" for i in range(N_LABELS)]
+
+GCN_CFG = GCNConfig(n_labels=N_LABELS, lm_hidden=8, lm_layers=2,
+                    embed_dim=16, gc_dims=(8, 12), fc_dims=(16,),
+                    adj_norm="none")
+CNN_CFG = CNNConfig(n_labels=N_LABELS, conv_filters=8, conv_kernels=(3, 5),
+                    fc_dims=(16,))
+
+
+@pytest.fixture(scope="module")
+def weights_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("weights")
+    key = jax.random.PRNGKey(0)
+    for i, mode in enumerate(MODES):
+        k1, k2, key = jax.random.split(key, 3)
+        gcn_name = (f"DeepFRI-MERGED_GraphConv_gcd_8-12_fcd_16_ca_10.0_"
+                    f"{mode}.onnx")
+        cnn_name = f"DeepCNN-MERGED_{mode}.onnx"
+        export_gcn_to_onnx(init_gcn(k1, GCN_CFG), GCN_CFG,
+                           str(path / gcn_name))
+        export_cnn_to_onnx(init_cnn(k2, CNN_CFG), CNN_CFG,
+                           str(path / cnn_name))
+        for name in (gcn_name, cnn_name):
+            params_json = path / (name[:-5] + "_model_params.json")
+            with open(params_json, "w") as f:
+                json.dump({"goterms": GOTERMS, "gonames": GONAMES}, f)
+    generate_config_json(path, "1.0")
+    return path
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    aas = list("ACDEFGHIKLMNPQRSTVWY")
+    path = tmp_path_factory.mktemp("data")
+
+    def rand_seq(n):
+        return "".join(rng.choice(aas, size=n))
+
+    queries = {
+        "query_hit_1": rand_seq(80),
+        "query_hit_2": rand_seq(120),
+        "query_nohit": rand_seq(60),
+        "query_seleno": "MKVU" + rand_seq(40),  # dropped (selenocysteine)
+    }
+
+    def mutate(seq, n):
+        out = list(seq)
+        for pos in rng.choice(len(seq), size=n, replace=False):
+            out[pos] = rng.choice(aas)
+        return "".join(out)
+
+    targets = {
+        "target_1": mutate(queries["query_hit_1"], 3),
+        "target_2": mutate(queries["query_hit_2"], 4),
+    }
+    targets.update({f"decoy{i}": rand_seq(100) for i in range(10)})
+
+    write_fasta(path / "queries.faa", queries)
+    write_fasta(path / "targets.fasta", targets)
+    return path, queries, targets
+
+
+def _fake_extract_calpha_coords(db, target_ids, query_ids, targets,
+                                save_directory=None, threads=1):
+    rng = np.random.default_rng(7)
+    coords = []
+    for tid in target_ids:
+        L = len(targets[tid])
+        steps = rng.normal(size=(L, 3)).astype(np.float32)
+        steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+        coords.append(np.cumsum(3.8 * steps, axis=0).astype(np.float32))
+    return coords
+
+
+def test_full_pipeline(weights_dir, data_dir, tmp_path, monkeypatch):
+    path, queries, targets = data_dir
+    out = tmp_path / "results"
+
+    qf = load_query_file(path / "queries.faa")
+    assert "query_seleno" not in qf.sequences
+
+    dbs = hierarchical_database_search(
+        query_file=qf,
+        output_path=out / "database_search",
+        databases=[path / "targets.fasta"],
+        skip_pdb=True,
+        max_eval=1e-3,
+        threads=2)
+    assert len(dbs) == 1
+    assert dbs[0].mmseqs_result.exists()
+
+    import metagenomic_deepfri_tpu.pipeline as pipeline_mod
+
+    monkeypatch.setattr(
+        pipeline_mod, "extract_calpha_coords",
+        lambda db, tids, qids, save_directory=None, threads=1:
+        _fake_extract_calpha_coords(db, tids, qids, targets,
+                                    save_directory, threads))
+
+    qf2 = load_query_file(path / "queries.faa")
+    predict_protein_function(
+        query_file=qf2,
+        databases=tuple(dbs),
+        weights=weights_dir,
+        output_path=out,
+        deepfri_processing_modes=["mf", "bp"],
+        threads=2,
+        save_cmaps=True,
+        scoring_matrix="BLOSUM62")
+
+    # ---- alignment summary ----
+    summary = (out / "alignment_summary.tsv").read_text().strip().split("\n")
+    assert summary[0].split("\t") == ALIGNMENT_HEADER
+    rows = {r.split("\t")[0]: r.split("\t") for r in summary[1:]}
+    assert rows["query_hit_1"][1] == "True"
+    assert rows["query_hit_1"][2] == "target_1"
+    assert rows["query_nohit"][1] == "False"
+
+    # ---- saved contact maps ----
+    assert (out / "contact_maps" / "query_hit_1.npy").exists()
+    cmap = np.load(out / "contact_maps" / "query_hit_1.npy")
+    assert cmap.shape[0] == cmap.shape[1]
+
+    # ---- prediction matrices ----
+    for mode in ("mf", "bp"):
+        matrix = (out / f"prediction_matrix_{mode}.tsv").read_text()
+        lines = matrix.strip().split("\n")
+        assert lines[0].split("\t") == ["protein", "network_type"] + GOTERMS
+        nets = {ln.split("\t")[0]: ln.split("\t")[1] for ln in lines[1:]}
+        assert nets["query_hit_1"] == "gcn"
+        assert nets["query_nohit"] == "cnn"
+
+    # ---- final results ----
+    results = (out / "results.tsv").read_text().strip().split("\n")
+    assert results[0].split("\t") == FINAL_OUTPUT_HEADER
+    body = [r.split("\t") for r in results[1:]]
+    assert body, "results.tsv must not be empty"
+    # every score above threshold, 4-decimal formatted
+    for row in body:
+        assert float(row[4]) >= 0.1
+        assert row[2] in ("GO Molecular Function", "GO Biological Process")
+    # aligned info propagated into final rows for hit queries
+    hit_rows = [r for r in body if r[0] == "query_hit_1"]
+    if hit_rows:
+        assert hit_rows[0][6] == "True"
+        assert hit_rows[0][7] == "target_1"
+
+
+def test_ec_dropped_for_v11(weights_dir, tmp_path):
+    from metagenomic_deepfri_tpu.pipeline import _initialize_processing_modes
+
+    modes = _initialize_processing_modes(["mf", "ec"], {"version": "1.1"})
+    assert modes == ["mf"]
+    with pytest.raises(ValueError):
+        _initialize_processing_modes(["ec"], {"version": "1.1"})
