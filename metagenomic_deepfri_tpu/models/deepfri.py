@@ -171,19 +171,11 @@ def _head_scores(head_params, x, n_labels: int) -> jnp.ndarray:
     return probs[..., 0]
 
 
-def gcn_forward(params: dict, config: GCNConfig, tokens: jnp.ndarray,
-                adjacency: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """Batched GCN forward.
+def _gcn_trunk(params: dict, config: GCNConfig, tokens: jnp.ndarray,
+               adjacency: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Shared GCN trunk: one-hot → LM branch → GraphConv stack → pooled FC.
 
-    Args:
-        tokens: (B, L) uint8 token ids (padded with PAD_TOKEN).
-        adjacency: (B, L, L) float 0/1 contact maps, padded rows/cols zeroed,
-            identity on valid diagonal (the contract produced by
-            ``ops.cmap_align`` / ``ops.contact``).
-        lengths: (B,) int32 true lengths.
-
-    Returns:
-        (B, n_labels) float32 per-term scores in [0, 1].
+    Returns the (B, fc_dims[-1]) feature tensor fed to the per-term head.
     """
     dtype = jnp.dtype(config.compute_dtype)
     onehot = tokens2onehot(tokens, dtype=jnp.float32)
@@ -218,7 +210,38 @@ def gcn_forward(params: dict, config: GCNConfig, tokens: jnp.ndarray,
 
     for layer in params["fc"]:
         pooled = jax.nn.relu(_dense(layer, pooled))
+    return pooled
+
+
+def gcn_forward(params: dict, config: GCNConfig, tokens: jnp.ndarray,
+                adjacency: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Batched GCN forward.
+
+    Args:
+        tokens: (B, L) uint8 token ids (padded with PAD_TOKEN).
+        adjacency: (B, L, L) float 0/1 contact maps, padded rows/cols zeroed,
+            identity on valid diagonal (the contract produced by
+            ``ops.cmap_align`` / ``ops.contact``).
+        lengths: (B,) int32 true lengths.
+
+    Returns:
+        (B, n_labels) float32 per-term scores in [0, 1].
+    """
+    pooled = _gcn_trunk(params, config, tokens, adjacency, lengths)
     return _head_scores(params["head"], pooled, config.n_labels)
+
+
+def gcn_forward_logits(params: dict, config: GCNConfig, tokens: jnp.ndarray,
+                       adjacency: jnp.ndarray,
+                       lengths: jnp.ndarray) -> jnp.ndarray:
+    """Batched GCN forward returning (B, n_labels, 2) pre-softmax logits.
+
+    Training entry point: the fine-tuning loss needs raw logits, not the
+    class-0 probabilities of the inference contract.
+    """
+    pooled = _gcn_trunk(params, config, tokens, adjacency, lengths)
+    logits = _dense(params["head"], pooled)
+    return logits.reshape(*logits.shape[:-1], config.n_labels, 2)
 
 
 def cnn_forward(params: dict, config: CNNConfig, tokens: jnp.ndarray,

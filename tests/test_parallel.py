@@ -1,0 +1,84 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+The reference has no distributed execution and therefore no distributed tests
+(SURVEY.md §2.3, §4); these are new. conftest.py forces
+``--xla_force_host_platform_device_count=8`` on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from metagenomic_deepfri_tpu.models.deepfri import (GCNConfig, gcn_forward,
+                                                    init_gcn)
+from metagenomic_deepfri_tpu.parallel import (init_train_state, make_mesh,
+                                              make_sharded_gcn_forward,
+                                              make_train_step)
+from metagenomic_deepfri_tpu.parallel.shard import shard_params
+
+TINY = GCNConfig(n_labels=8, lm_hidden=16, lm_layers=1, embed_dim=32,
+                 gc_dims=(16, 16), fc_dims=(32,))
+
+
+def _batch(B=8, L=16, seed=0):
+    rng = np.random.default_rng(seed)
+    tokens = jnp.asarray(rng.integers(1, 20, (B, L)), dtype=jnp.uint8)
+    adj = jnp.tile(jnp.eye(L, dtype=jnp.float32)[None], (B, 1, 1))
+    lengths = jnp.full((B,), L, dtype=jnp.int32)
+    return tokens, adj, lengths
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_devices=8, model_parallel=3)
+
+
+def test_sharded_forward_matches_single_device():
+    params = init_gcn(jax.random.PRNGKey(0), TINY)
+    tokens, adj, lengths = _batch()
+    ref = gcn_forward(params, TINY, tokens, adj, lengths)
+
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    sharded_params = shard_params(params, mesh)
+    fwd = make_sharded_gcn_forward(mesh, TINY, params)
+    out = fwd(sharded_params, tokens, adj, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_runs_and_descends():
+    import optax
+
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    optimizer = optax.adam(1e-2)
+    state = init_train_state(jax.random.PRNGKey(0), TINY, optimizer,
+                             mesh=mesh)
+    step = make_train_step(mesh, TINY, optimizer)
+
+    tokens, adj, lengths = _batch()
+    rng = np.random.default_rng(1)
+    labels = jnp.asarray(rng.integers(0, 2, (8, TINY.n_labels)),
+                         dtype=jnp.int32)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, tokens, adj, lengths, labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+
+
+def test_dryrun_multichip_entry():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
