@@ -36,6 +36,7 @@ from metagenomic_deepfri_tpu.batching.buckets import (DEFAULT_BUCKETS,
                                                       gcn_batch_size)
 from metagenomic_deepfri_tpu.models.deepfri import (CNNConfig, GCNConfig,
                                                     cnn_forward, gcn_forward)
+from metagenomic_deepfri_tpu.ops.cmap_align import aligned_contacts_from_coords
 from metagenomic_deepfri_tpu.ops.one_hot import seq2tokens
 
 logger = logging.getLogger(__name__)
@@ -50,6 +51,49 @@ class ModelHandle:
     params: dict
     goterms: Optional[list] = None
     gonames: Optional[list] = None
+
+
+# Channel layout of the packed float32 input buffer (one H2D transfer per
+# super-chunk instead of four small latency-bound transfers over the link):
+# [0:3]=CA coords, [3]=token id, [4]=insertion mask, [5]=length (broadcast).
+_PACK_CHANNELS = 6
+
+# Cap on a single packed host→device transfer. Large enough to amortise link
+# latency, small enough to bound host pinned-memory and device staging.
+_MAX_MEGA_BYTES = 256 * 1024 * 1024
+
+
+def _pack_coords_mega(items: List[tuple], bucket: int, n_rows: int):
+    """Pack (id, seq, proj_coords, ins_mask) items into ONE (N, L, 6) f32.
+
+    Ships O(B·L) floats per protein instead of the O(B·L²) dense adjacency —
+    the adjacency is reconstructed on device inside the fused GCN step.
+    Trailing rows beyond ``len(items)`` stay zero (length 0 → fully masked).
+    """
+    mega = np.zeros((n_rows, bucket, _PACK_CHANNELS), dtype=np.float32)
+    for i, (_, seq, proj, ins_mask) in enumerate(items):
+        t = seq2tokens(seq)
+        L = t.shape[0]
+        mega[i, : proj.shape[0], :3] = proj
+        mega[i, :L, 3] = t
+        mega[i, : ins_mask.shape[0], 4] = ins_mask
+        mega[i, :, 5] = L
+    return mega
+
+
+def _pad_batch_coords(items: List[tuple], bucket: int, batch: int):
+    """Pack (id, seq, proj_coords, ins_mask) tuples into padded arrays."""
+    tokens = np.zeros((batch, bucket), dtype=np.uint8)
+    lengths = np.zeros((batch,), dtype=np.int32)
+    coords = np.zeros((batch, bucket, 3), dtype=np.float32)
+    ins = np.zeros((batch, bucket), dtype=bool)
+    for i, (_, seq, proj, ins_mask) in enumerate(items):
+        t = seq2tokens(seq)
+        tokens[i, : t.shape[0]] = t
+        lengths[i] = t.shape[0]
+        coords[i, : proj.shape[0]] = proj
+        ins[i, : ins_mask.shape[0]] = ins_mask
+    return tokens, lengths, coords, ins
 
 
 def _pad_batch(items: List[tuple], bucket: int, batch: int, with_adj: bool):
@@ -84,13 +128,18 @@ class BatchedPredictor:
                  cnn_models: Optional[Dict[str, ModelHandle]] = None,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  matmul_precision: Optional[str] = None,
-                 batch_cap: Optional[int] = None):
+                 batch_cap: Optional[int] = None,
+                 contact_threshold: float = 6.0,
+                 generated_contacts: int = 2):
         self.gcn_models = gcn_models or {}
         self.cnn_models = cnn_models or {}
         self.buckets = tuple(buckets)
         self.matmul_precision = matmul_precision
         self.batch_cap = batch_cap
+        self.contact_threshold = float(contact_threshold)
+        self.generated_contacts = int(generated_contacts)
         self._gcn_jit = {}
+        self._gcn_coords_jit = {}
         self._cnn_jit = {}
 
     # -- compiled forwards ---------------------------------------------------
@@ -106,6 +155,35 @@ class BatchedPredictor:
 
             self._gcn_jit[mode] = step
         return self._gcn_jit[mode]
+
+    def _gcn_coords_step(self, mode: str):
+        """Fused adjacency-construction + GCN forward — the hot path.
+
+        The dense (B, L, L) adjacency is built on device from projected CA
+        coordinates (ops.cmap_align.aligned_contacts_from_coords) inside the
+        same XLA program as the GCN forward, so only O(B·L) bytes cross the
+        host↔device link per batch (vs the reference's O(L²) float32 per
+        protein per call, predict.pyx:85-90).
+        """
+        if mode not in self._gcn_coords_jit:
+            handle = self.gcn_models[mode]
+            thr = self.contact_threshold
+            gen = self.generated_contacts
+
+            @partial(jax.jit, static_argnums=())
+            def step(params, packed):
+                coords = packed[..., :3]
+                tokens = packed[..., 3].astype(jnp.uint8)
+                ins_mask = packed[..., 4] > 0.5
+                lengths = packed[:, 0, 5].astype(jnp.int32)
+                adj = aligned_contacts_from_coords(
+                    coords, ins_mask, lengths, threshold=thr,
+                    generated_contacts=gen)
+                return gcn_forward(params, handle.config, tokens, adj,
+                                   lengths)
+
+            self._gcn_coords_jit[mode] = step
+        return self._gcn_coords_jit[mode]
 
     def _cnn_step(self, mode: str):
         if mode not in self._cnn_jit:
@@ -131,6 +209,20 @@ class BatchedPredictor:
         modes = list(modes) if modes is not None else list(self.gcn_models)
         return self._run(items, modes, net="gcn", progress_cb=progress_cb)
 
+    def predict_gcn_from_coords(self, items: List[tuple],
+                                modes: Optional[Iterable[str]] = None,
+                                progress_cb=None):
+        """GCN forwards from (query_id, sequence, proj_coords, ins_mask).
+
+        ``proj_coords``/``ins_mask`` come from
+        :func:`metagenomic_deepfri_tpu.ops.cmap_align.project_alignment_coords`;
+        adjacency construction happens on device (fused step). This is the
+        production pipeline path.
+        """
+        modes = list(modes) if modes is not None else list(self.gcn_models)
+        return self._run(items, modes, net="gcn_coords",
+                         progress_cb=progress_cb)
+
     def predict_cnn(self, items: List[Tuple[str, str]],
                     modes: Optional[Iterable[str]] = None,
                     progress_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
@@ -142,36 +234,38 @@ class BatchedPredictor:
         out: Dict[str, Dict[str, np.ndarray]] = {m: {} for m in modes}
         if not items:
             return out
-        with_adj = net == "gcn"
+        is_gcn = net in ("gcn", "gcn_coords")
         plan = bucket_plan([len(it[1]) for it in items], self.buckets)
-        models = self.gcn_models if with_adj else self.cnn_models
+        models = self.gcn_models if is_gcn else self.cnn_models
 
         ctx = (jax.default_matmul_precision(self.matmul_precision)
                if self.matmul_precision else _nullcontext())
         with ctx:
             for bucket in sorted(plan):
                 idxs = plan[bucket]
-                batch = (gcn_batch_size(bucket) if with_adj
+                batch = (gcn_batch_size(bucket) if is_gcn
                          else cnn_batch_size(bucket))
                 if self.batch_cap:
                     batch = min(batch, self.batch_cap)
+                if net == "gcn_coords":
+                    self._run_coords_bucket(items, idxs, bucket, batch, modes,
+                                            out, progress_cb)
+                    continue
                 for start in range(0, len(idxs), batch):
                     chunk = [items[i] for i in idxs[start:start + batch]]
-                    tokens, lengths, adj = _pad_batch(chunk, bucket, batch,
-                                                      with_adj)
-                    tokens_d = jnp.asarray(tokens)
-                    lengths_d = jnp.asarray(lengths)
-                    adj_d = jnp.asarray(adj) if with_adj else None
+                    tokens, lengths, adj = _pad_batch(
+                        chunk, bucket, batch, is_gcn)
+                    args = ((jnp.asarray(tokens), jnp.asarray(adj),
+                             jnp.asarray(lengths)) if is_gcn else
+                            (jnp.asarray(tokens), jnp.asarray(lengths)))
                     # async dispatch: all modes queued before any fetch
                     pending = []
                     for mode in modes:
                         params = models[mode].params
-                        if with_adj:
-                            scores = self._gcn_step(mode)(params, tokens_d,
-                                                          adj_d, lengths_d)
+                        if net == "gcn":
+                            scores = self._gcn_step(mode)(params, *args)
                         else:
-                            scores = self._cnn_step(mode)(params, tokens_d,
-                                                          lengths_d)
+                            scores = self._cnn_step(mode)(params, *args)
                         pending.append((mode, scores))
                     for mode, scores in pending:
                         host = np.asarray(scores)
@@ -180,6 +274,43 @@ class BatchedPredictor:
                     if progress_cb:
                         progress_cb(len(chunk))
         return out
+
+    def _run_coords_bucket(self, items, idxs, bucket: int, batch: int,
+                           modes, out, progress_cb=None):
+        """Latency-optimised bucket drain for the fused coords path.
+
+        Each batch is packed into ONE (B, L, 6) buffer and shipped with an
+        async ``jax.device_put`` — transfers pipeline behind compute, so the
+        link's per-transfer latency is paid once, not per batch. All (batch,
+        mode) steps are dispatched without any host sync; scores are stacked
+        on device and fetched with ONE device→host transfer per (group,
+        mode). On a high-latency link (tunneled TPU, multi-host DCN) this
+        turns ~5 blocking round-trips per batch into ~1 per group.
+
+        Groups bound in-flight host staging memory to ~_MAX_MEGA_BYTES.
+        """
+        row_bytes = bucket * _PACK_CHANNELS * 4
+        group_rows = max(batch, (_MAX_MEGA_BYTES // row_bytes) // batch * batch)
+        for gstart in range(0, len(idxs), group_rows):
+            gidx = idxs[gstart:gstart + group_rows]
+            chunk_items = [items[i] for i in gidx]
+            per_mode = {m: [] for m in modes}
+            for start in range(0, len(gidx), batch):
+                chunk = chunk_items[start:start + batch]
+                packed = _pack_coords_mega(chunk, bucket, batch)
+                x = jax.device_put(packed)  # async H2D
+                for mode in modes:
+                    params = self.gcn_models[mode].params
+                    per_mode[mode].append(
+                        self._gcn_coords_step(mode)(params, x))
+            for mode in modes:
+                stacked = (jnp.concatenate(per_mode[mode], axis=0)
+                           if len(per_mode[mode]) > 1 else per_mode[mode][0])
+                host = np.asarray(stacked)  # one fetch per mode
+                for i, item in enumerate(chunk_items):
+                    out[mode][item[0]] = host[i]
+            if progress_cb:
+                progress_cb(len(chunk_items))
 
 
 class _nullcontext:

@@ -19,7 +19,14 @@ REFERENCE_GCN_PROTEINS_PER_SEC = 20.2
 
 
 def make_random_items(n: int, min_len: int, max_len: int, seed: int = 0,
-                      contact_threshold: float = 6.0):
+                      contact_threshold: float = 6.0, form: str = "dense"):
+    """Random proteins with random-walk backbones (realistic contact density).
+
+    ``form='dense'`` → (id, seq, dense_cmap) for the dense-adjacency engine
+    path; ``form='coords'`` → (id, seq, proj_coords, ins_mask) for the fused
+    on-device-adjacency path (identity alignment, i.e. the query's own
+    structure).
+    """
     from metagenomic_deepfri_tpu.ops.contact import calculate_contact_map
 
     rng = np.random.default_rng(seed)
@@ -32,15 +39,27 @@ def make_random_items(n: int, min_len: int, max_len: int, seed: int = 0,
         steps = rng.normal(size=(L, 3)).astype(np.float32)
         steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
         coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
-        cmap = calculate_contact_map(coords, threshold=contact_threshold)
-        items.append((f"bench{i}", seq, cmap))
+        if form == "coords":
+            items.append((f"bench{i}", seq, coords,
+                          np.zeros(L, dtype=bool)))
+        else:
+            cmap = calculate_contact_map(coords, threshold=contact_threshold)
+            items.append((f"bench{i}", seq, cmap))
     return items
 
 
 def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
                       n_labels: int = 512, batch_cap: int | None = None,
-                      compute_dtype: str = "bfloat16", seed: int = 0) -> str:
-    """Time full-size GCN forwards; returns the bench JSON line."""
+                      compute_dtype: str = "bfloat16", seed: int = 0,
+                      path: str = "coords") -> str:
+    """Time full-size GCN forwards; returns the bench JSON line.
+
+    ``path='coords'`` (default, the production pipeline path) measures the
+    fused on-device-adjacency step — strictly MORE work per protein than the
+    reference baseline (contact-map construction + GCN vs GCN only), shipped
+    as O(L) coords. ``path='dense'`` measures the dense-adjacency path
+    (reference-style inputs).
+    """
     import jax
 
     from metagenomic_deepfri_tpu.batching.buckets import gcn_batch_size
@@ -58,12 +77,15 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
     batch = batch_cap or gcn_batch_size(bucket)
     lo = max(bucket * 2 // 5, 16)
     hi = max(bucket * 3 // 5, lo + 1)
-    items = make_random_items(batch * batches, lo, hi, seed=seed)
+    form = "coords" if path == "coords" else "dense"
+    items = make_random_items(batch * batches, lo, hi, seed=seed, form=form)
+    run = (engine.predict_gcn_from_coords if path == "coords"
+           else engine.predict_gcn)
 
     # warm-up / compile
-    engine.predict_gcn(items[:batch])
+    run(items[:batch])
     t0 = time.perf_counter()
-    engine.predict_gcn(items)
+    run(items)
     elapsed = time.perf_counter() - t0
     pps = len(items) / elapsed
 
@@ -79,6 +101,7 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
             "n_labels": n_labels,
             "elapsed_s": round(elapsed, 3),
             "compute_dtype": compute_dtype,
+            "path": path,
             "device": str(jax.devices()[0]),
         },
     }

@@ -54,3 +54,37 @@ def build_align_contact_map(
             idx, alignment.query_name)
         aligned_cmap = None
     return (alignment, aligned_cmap)
+
+
+def build_align_projection(
+        alignment: AlignmentResult
+) -> Tuple[AlignmentResult, Optional[tuple]]:
+    """Target coords → query-indexed coordinate projection (fused-path prep).
+
+    The TPU production path: instead of materialising the O(L²) aligned
+    contact map on host (``build_align_contact_map``), gather the target CA
+    coordinates through the alignment (O(L)) and let the device build the
+    adjacency inside the fused GCN step
+    (:func:`metagenomic_deepfri_tpu.ops.cmap_align.project_alignment_coords`).
+
+    Same failure surface as the reference's scatter (reference
+    ``bio_utils.py:348-385``): missing coordinates or malformed alignments
+    return ``(alignment, None)`` so the query can be rescued by a later DB
+    or fall back to sequence-only prediction.
+    """
+    from metagenomic_deepfri_tpu.ops.cmap_align import project_alignment_coords
+
+    idx = alignment.target_name.rsplit(".", 1)[0]
+    coordinates = alignment.coords
+    if coordinates is None:
+        logger.warning("No coordinates found for %s.", alignment.target_name)
+        return (alignment, None)
+    try:
+        proj, ins_mask, qlen = project_alignment_coords(
+            alignment.gapped_sequence, alignment.gapped_target, coordinates)
+    except (IndexError, ValueError):
+        logger.warning(
+            "Error aligning contact map for target %s against %s.",
+            idx, alignment.query_name)
+        return (alignment, None)
+    return (alignment, (proj, ins_mask))

@@ -130,6 +130,99 @@ def build_projection_arrays(query_alignment: str,
     return q_to_t, ins_mask, qlen
 
 
+# Sentinel coordinates for unmapped query positions: far from every real CA
+# coordinate and from each other, so they produce no spurious contacts while
+# keeping the gather shape static.
+_SENTINEL_BASE = 1.0e6
+_SENTINEL_SPACING = 1.0e3
+
+
+def project_alignment_coords(query_alignment: str,
+                             target_alignment: str,
+                             target_coords: np.ndarray):
+    """Host prep: gather target CA coords into query indexing.
+
+    The reference materialises the target's full sparse contact map and
+    scatters it through the alignment (``contact_map_utils.pyx:44-117``).
+    Observation: for matched pairs, ``aligned[qi, qj] =
+    contact(t_coords[q_to_t[qi]], t_coords[q_to_t[qj]])`` — so gathering the
+    (Q, 3) coordinates through the alignment and thresholding ON DEVICE is
+    mathematically identical, and ships O(Q) floats instead of an O(Q²)
+    matrix. Unmapped positions get far-apart sentinel coordinates.
+
+    Returns:
+        proj_coords: (Q, 3) float32 gathered coords (sentinels where
+            unmapped), insertion_mask: (Q,) bool, query_len: int.
+    Raises:
+        IndexError/ValueError on malformed alignments (same failure surface
+        as the reference's scatter, caught by ``build_align_contact_map``).
+    """
+    t2q, insertions, qlen = alignment_index_map(query_alignment,
+                                                target_alignment)
+    target_coords = np.asarray(target_coords, dtype=np.float32)
+    q_to_t = np.full(qlen, -1, dtype=np.int32)
+    t_res = np.nonzero(t2q >= 0)[0]
+    q_to_t[t2q[t_res]] = t_res
+    mapped = q_to_t >= 0
+    if np.any(q_to_t >= target_coords.shape[0]):
+        raise IndexError("alignment addresses residues beyond target coords")
+    proj = np.empty((qlen, 3), dtype=np.float32)
+    proj[mapped] = target_coords[q_to_t[mapped]]
+    unmapped_pos = np.nonzero(~mapped)[0]
+    proj[~mapped, 0] = _SENTINEL_BASE + _SENTINEL_SPACING * unmapped_pos
+    proj[~mapped, 1:] = 0.0
+    ins_mask = np.zeros(qlen, dtype=bool)
+    ins_mask[insertions] = True
+    return proj, ins_mask, qlen
+
+
+def aligned_contacts_from_coords(proj_coords: jnp.ndarray,
+                                 insertion_mask: jnp.ndarray,
+                                 lengths: jnp.ndarray,
+                                 threshold: float = 6.0,
+                                 generated_contacts: int = 2) -> jnp.ndarray:
+    """Device: aligned adjacency from projected coords (no O(L²) transfer).
+
+    Jit-inline-able core of the fused GCN step: threshold the pairwise
+    squared distances of the gathered coordinates (MXU Gram matmul), OR in
+    the identity diagonal and the insertion band, zero the padding.
+
+    Args:
+        proj_coords: (B, Q, 3) from :func:`project_alignment_coords`, padded
+            arbitrarily beyond length.
+        insertion_mask: (B, Q) bool.
+        lengths: (B,) int32 query lengths.
+
+    Returns:
+        (B, Q, Q) float32 adjacency — identical to the host
+        :func:`align_contact_map` on the valid block.
+    """
+    sq = jnp.einsum("blk,blk->bl", proj_coords, proj_coords)
+    gram = jnp.einsum("bik,bjk->bij", proj_coords, proj_coords,
+                      preferred_element_type=jnp.float32)
+    dist = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+    contacts = dist < threshold ** 2
+
+    B, Q = insertion_mask.shape
+    pos = jnp.arange(Q, dtype=jnp.int32)
+    # float32 Gram loses precision at sentinel magnitude (~1e12); force exact
+    # self-contacts and exclude sentinel rows from off-diagonal contacts.
+    eye = pos[:, None] == pos[None, :]
+    offset = jnp.abs(pos[:, None] - pos[None, :])
+    band = (offset > 0) & (offset <= generated_contacts)
+    ins = insertion_mask
+    ins_pairs = band[None] & (ins[:, :, None] | ins[:, None, :])
+
+    unmapped = proj_coords[:, :, 0] >= _SENTINEL_BASE * 0.5
+    real = ~unmapped
+    contacts = contacts & real[:, :, None] & real[:, None, :]
+
+    out = contacts | eye[None] | ins_pairs
+    valid = pos[None, :] < lengths[:, None]
+    mask2d = valid[:, :, None] & valid[:, None, :]
+    return (out & mask2d).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("generated_contacts",))
 def batched_align_contact_maps(target_cmaps: jnp.ndarray,
                                q_to_t: jnp.ndarray,

@@ -37,7 +37,8 @@ from tqdm import tqdm
 from metagenomic_deepfri_tpu import DEEPFRI_MODES
 from metagenomic_deepfri_tpu.align.pairwise import align_mmseqs_results
 from metagenomic_deepfri_tpu.batching.engine import BatchedPredictor
-from metagenomic_deepfri_tpu.bio_utils import build_align_contact_map
+from metagenomic_deepfri_tpu.bio_utils import (build_align_contact_map,
+                                               build_align_projection)
 from metagenomic_deepfri_tpu.models.registry import load_models
 from metagenomic_deepfri_tpu.search.database import Database, build_database
 from metagenomic_deepfri_tpu.search.pdb import (create_pdb_mmseqs,
@@ -270,11 +271,11 @@ def predict_protein_function(
         for aln, coord in zip(new_alignments.values(), coords):
             aln.coords = coord
 
-        map_align = partial(build_align_contact_map,
-                            threshold=angstrom_contact_threshold,
-                            generated_contacts=generate_contacts)
+        # Fused-path prep: O(L) coordinate projection per protein; adjacency
+        # is built on device inside the batched GCN step (no host O(L²)).
         with ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
-            cmaps = list(pool.map(map_align, new_alignments.values()))
+            cmaps = list(pool.map(build_align_projection,
+                                  new_alignments.values()))
 
         partial_cmaps = [c for c in cmaps if c[1] is not None]
         aligned_cmaps.extend(partial_cmaps)
@@ -289,10 +290,17 @@ def predict_protein_function(
             len(aligned_cmaps) / denom * 100)
 
     if save_cmaps:
+        # Dense maps are only materialised on host when explicitly requested
+        # (reference pipeline saves .npy cmaps); the inference path never
+        # builds them.
         cmap_dir = output_path / "contact_maps"
         cmap_dir.mkdir(parents=True, exist_ok=True)
-        for aln, cmap in aligned_cmaps:
-            np.save(cmap_dir / f"{aln.query_name}.npy", cmap)
+        for aln, _ in aligned_cmaps:
+            _, cmap = build_align_contact_map(
+                aln, threshold=angstrom_contact_threshold,
+                generated_contacts=generate_contacts)
+            if cmap is not None:
+                np.save(cmap_dir / f"{aln.query_name}.npy", cmap)
 
     aligned_queries = [a[0].query_name for a in aligned_cmaps]
     unaligned_queries = {
@@ -324,10 +332,12 @@ def predict_protein_function(
     gcn_handles, cnn_handles, _ = load_models(weights,
                                               deepfri_processing_modes)
     predictor = BatchedPredictor(gcn_models=gcn_handles,
-                                 cnn_models=cnn_handles)
+                                 cnn_models=cnn_handles,
+                                 contact_threshold=angstrom_contact_threshold,
+                                 generated_contacts=generate_contacts)
 
-    gcn_items = [(aln.query_name, aln.query_sequence, cmap)
-                 for aln, cmap in aligned_cmaps]
+    gcn_items = [(aln.query_name, aln.query_sequence, proj, ins)
+                 for aln, (proj, ins) in aligned_cmaps]
     cnn_items = list(unaligned_queries.items())
 
     bar = tqdm(total=(len(gcn_items) + len(cnn_items))
@@ -337,7 +347,7 @@ def predict_protein_function(
     def progress(n):
         bar.update(n * len(deepfri_processing_modes))
 
-    gcn_scores = predictor.predict_gcn(gcn_items,
+    gcn_scores = predictor.predict_gcn_from_coords(gcn_items,
                                        modes=list(gcn_handles),
                                        progress_cb=progress)
     cnn_scores = predictor.predict_cnn(cnn_items,
@@ -381,7 +391,7 @@ def predict_protein_function(
             return sink
 
         gcn_rows = [(qid, "gcn", gcn_scores[mode][qid])
-                    for qid, _, _ in gcn_items] if gcn_handle else []
+                    for qid, *_ in gcn_items] if gcn_handle else []
         cnn_rows = [(qid, "cnn", cnn_scores[mode][qid])
                     for qid, _ in cnn_items] if cnn_handle else []
 

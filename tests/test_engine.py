@@ -94,3 +94,38 @@ class TestBatchedPredictor:
         engine = BatchedPredictor(gcn_models={}, cnn_models={})
         assert engine.predict_gcn([]) == {}
         assert engine.predict_cnn([]) == {}
+
+    def test_gcn_from_coords_matches_dense(self):
+        """Fused on-device adjacency path == dense-cmap path, bitwise inputs."""
+        from metagenomic_deepfri_tpu.ops.cmap_align import (
+            align_contact_map, project_alignment_coords)
+        from metagenomic_deepfri_tpu.ops.contact import calculate_contact_map
+
+        rng = np.random.default_rng(21)
+        params = init_gcn(jax.random.PRNGKey(5), GCN_CFG)
+        handle = ModelHandle("gcn", "mf", GCN_CFG, params)
+        engine = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4)
+
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        dense_items, coords_items = [], []
+        for i in range(6):
+            L = int(rng.integers(20, 150))
+            seq = "".join(rng.choice(list(aas), size=L))
+            steps = rng.normal(size=(L, 3)).astype(np.float32)
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+            aln = seq  # identity alignment (self-structure)
+            sparse = calculate_contact_map(coords, threshold=6.0,
+                                           mode="sparse")
+            cmap = align_contact_map(aln, aln, sparse)
+            proj, ins, qlen = project_alignment_coords(aln, aln, coords)
+            assert qlen == L
+            dense_items.append((f"q{i}", seq, cmap))
+            coords_items.append((f"q{i}", seq, proj, ins))
+
+        dense_out = engine.predict_gcn(dense_items)
+        coords_out = engine.predict_gcn_from_coords(coords_items)
+        for i in range(6):
+            np.testing.assert_allclose(coords_out["mf"][f"q{i}"],
+                                       dense_out["mf"][f"q{i}"],
+                                       rtol=1e-5, atol=1e-6)

@@ -160,3 +160,71 @@ class TestBatchedAlignContactMaps:
         host = self._host_single(q_aln, t_aln, coords)
         assert host.shape == (qlen, qlen)
         np.testing.assert_array_equal(dev, host)
+
+
+class TestAlignedContactsFromCoords:
+    """The fused gather-coords-then-threshold path must be bit-identical to
+    the reference-parity scatter (``align_contact_map``)."""
+
+    def _run(self, q_aln, t_aln, coords, gen=2, thr=6.0, pad_q=16):
+        from metagenomic_deepfri_tpu.ops.cmap_align import (
+            aligned_contacts_from_coords, project_alignment_coords)
+
+        proj, ins, qlen = project_alignment_coords(q_aln, t_aln, coords)
+        proj_pad = np.zeros((1, pad_q, 3), np.float32)
+        proj_pad[0, :qlen] = proj
+        ins_pad = np.zeros((1, pad_q), bool)
+        ins_pad[0, :qlen] = ins
+        out = aligned_contacts_from_coords(
+            jnp.asarray(proj_pad), jnp.asarray(ins_pad),
+            jnp.asarray(np.array([qlen], np.int32)),
+            threshold=thr, generated_contacts=gen)
+        full = np.asarray(out)[0]
+        # padding must stay zero
+        assert full[qlen:].sum() == 0 and full[:, qlen:].sum() == 0
+        return full[:qlen, :qlen].astype(np.int32)
+
+    @pytest.mark.parametrize("q_aln,t_aln", [
+        ("ABCDE", "ABCDE"),
+        ("AB-DE", "ABCDE"),
+        ("ABCDE", "AB-DE"),
+        ("A-CDE", "ABC-E"),
+        ("AB--E", "ABCDE"),
+        ("--CDE", "ABCDE"),
+    ])
+    def test_matches_reference_scatter(self, q_aln, t_aln):
+        rng = np.random.default_rng(11)
+        tlen = sum(1 for c in t_aln if c != "-")
+        coords = rng.normal(size=(tlen, 3)).astype(np.float32) * 4
+        sparse = calculate_contact_map(coords, threshold=6.0, mode="sparse")
+        host = align_contact_map(q_aln, t_aln, sparse, generated_contacts=2)
+        dev = self._run(q_aln, t_aln, coords)
+        np.testing.assert_array_equal(dev, host)
+
+    def test_random_large(self):
+        rng = np.random.default_rng(3)
+        for trial in range(5):
+            tlen = int(rng.integers(30, 120))
+            steps = rng.normal(size=(tlen, 3)).astype(np.float32)
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+            # random alignment with gaps on both sides
+            q_chars, t_chars = [], []
+            t_used = 0
+            while t_used < tlen:
+                r = rng.random()
+                if r < 0.1:
+                    q_chars.append("-"); t_chars.append("A"); t_used += 1
+                elif r < 0.2:
+                    q_chars.append("A"); t_chars.append("-")
+                else:
+                    q_chars.append("A"); t_chars.append("A"); t_used += 1
+            q_aln, t_aln = "".join(q_chars), "".join(t_chars)
+            sparse = calculate_contact_map(coords, threshold=6.0,
+                                           mode="sparse")
+            host = align_contact_map(q_aln, t_aln, sparse,
+                                     generated_contacts=2)
+            qlen = host.shape[0]
+            dev = self._run(q_aln, t_aln, coords,
+                            pad_q=int(np.ceil(max(qlen, 1) / 8) * 8))
+            np.testing.assert_array_equal(dev, host)
