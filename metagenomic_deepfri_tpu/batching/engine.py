@@ -130,7 +130,8 @@ class BatchedPredictor:
                  matmul_precision: Optional[str] = None,
                  batch_cap: Optional[int] = None,
                  contact_threshold: float = 6.0,
-                 generated_contacts: int = 2):
+                 generated_contacts: int = 2,
+                 spmm: str = "xla"):
         self.gcn_models = gcn_models or {}
         self.cnn_models = cnn_models or {}
         self.buckets = tuple(buckets)
@@ -138,6 +139,13 @@ class BatchedPredictor:
         self.batch_cap = batch_cap
         self.contact_threshold = float(contact_threshold)
         self.generated_contacts = int(generated_contacts)
+        # 'xla' (dense masked adjacency in HBM; wins on measured single-chip
+        # benchmarks — XLA's fusion is near-optimal at protein scale) or
+        # 'pallas' (fused VMEM-recompute kernel, no HBM adjacency; see
+        # ops/graphconv_pallas.py for the trade-off analysis).
+        if spmm not in ("xla", "pallas"):
+            raise ValueError(f"spmm must be 'xla' or 'pallas', got {spmm!r}")
+        self.spmm = spmm
         self._gcn_jit = {}
         self._gcn_coords_jit = {}
         self._cnn_jit = {}
@@ -169,6 +177,7 @@ class BatchedPredictor:
             handle = self.gcn_models[mode]
             thr = self.contact_threshold
             gen = self.generated_contacts
+            use_pallas = self.spmm == "pallas"
 
             @partial(jax.jit, static_argnums=())
             def step(params, packed):
@@ -176,6 +185,12 @@ class BatchedPredictor:
                 tokens = packed[..., 3].astype(jnp.uint8)
                 ins_mask = packed[..., 4] > 0.5
                 lengths = packed[:, 0, 5].astype(jnp.int32)
+                if use_pallas:
+                    from metagenomic_deepfri_tpu.models.deepfri import \
+                        gcn_forward_fused
+                    return gcn_forward_fused(
+                        params, handle.config, tokens, coords, ins_mask,
+                        lengths, threshold=thr, generated_contacts=gen)
                 adj = aligned_contacts_from_coords(
                     coords, ins_mask, lengths, threshold=thr,
                     generated_contacts=gen)

@@ -244,6 +244,52 @@ def gcn_forward_logits(params: dict, config: GCNConfig, tokens: jnp.ndarray,
     return logits.reshape(*logits.shape[:-1], config.n_labels, 2)
 
 
+def gcn_forward_fused(params: dict, config: GCNConfig, tokens: jnp.ndarray,
+                      proj_coords: jnp.ndarray, ins_mask: jnp.ndarray,
+                      lengths: jnp.ndarray,
+                      interpret: bool = False,
+                      threshold: float = 6.0,
+                      generated_contacts: int = 2) -> jnp.ndarray:
+    """GCN forward with the Pallas fused-adjacency GraphConv.
+
+    Identical math to ``gcn_forward(…, aligned_contacts_from_coords(...))``
+    but the (B, L, L) adjacency never materialises in HBM — each tile is
+    recomputed in VMEM from ``proj_coords`` and contracted immediately
+    (:mod:`..ops.graphconv_pallas`). The degree pass is shared across the
+    GraphConv stack.
+    """
+    from metagenomic_deepfri_tpu.ops.graphconv_pallas import \
+        normalized_aggregate
+
+    dtype = jnp.dtype(config.compute_dtype)
+    onehot = tokens2onehot(tokens, dtype=jnp.float32)
+    L = tokens.shape[1]
+    valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
+             < lengths[:, None]).astype(jnp.float32)
+    onehot = onehot * valid[:, :, None]
+
+    lm_out = lstm_stack_forward(params["lm"], onehot)
+    x = _dense(params["lm_embed"], lm_out) + _dense(params["aa_embed"], onehot)
+    x = jax.nn.relu(x).astype(dtype)
+
+    degrees = None
+    gc_outputs = []
+    for layer in params["gc"]:
+        agg, degrees = normalized_aggregate(
+            proj_coords, ins_mask, lengths, x.astype(jnp.float32),
+            threshold=threshold, generated_contacts=generated_contacts,
+            adj_norm=config.adj_norm, interpret=interpret, degrees=degrees,
+            compute_dtype=config.compute_dtype)
+        x = jax.nn.relu(agg.astype(dtype) @ layer["kernel"].astype(dtype))
+        gc_outputs.append(x)
+    concat = jnp.concatenate(gc_outputs, axis=-1).astype(jnp.float32)
+    pooled = jnp.sum(concat * valid[:, :, None], axis=1)
+
+    for layer in params["fc"]:
+        pooled = jax.nn.relu(_dense(layer, pooled))
+    return _head_scores(params["head"], pooled, config.n_labels)
+
+
 def cnn_forward(params: dict, config: CNNConfig, tokens: jnp.ndarray,
                 lengths: jnp.ndarray) -> jnp.ndarray:
     """Batched sequence-only CNN forward → (B, n_labels) scores.

@@ -1,0 +1,286 @@
+"""Pallas fused GraphConv aggregation: coords → masked adjacency → Â·X.
+
+The reference's GraphConv executes inside ONNX Runtime as a dense (1, L, L)
+float32 matmul, with the adjacency built on host, copied over PCIe, and
+re-materialised per protein per mode (reference ``predict.pyx:83-95``). The
+XLA path in :mod:`..models.deepfri` already batches this; the kernel here goes
+one step further, per the BASELINE north star ("Pallas SpMM/SDDMM kernels for
+the sparse adjacency gather/scatter and neighborhood aggregation"):
+
+**The adjacency never exists in HBM.** Each (T×T) tile of the aligned contact
+map is *recomputed in VMEM* from the projected CA coordinates (Gram-matrix
+distance + threshold + identity/insertion-band/padding masks — the exact
+semantics of :func:`..ops.cmap_align.aligned_contacts_from_coords`) and
+immediately contracted with the matching X tile on the MXU. Per GraphConv
+layer the HBM traffic is O(L·D) for X plus O(L) for coordinates, instead of
+O(L²) for a materialised adjacency — for a 512-residue protein that is ~100×
+less adjacency traffic, and the recompute is ~8 VPU flops per entry against
+2·D MXU flops of useful work.
+
+Contact maps at 6 Å are ~1-2% dense but strongly banded; on the MXU a masked
+dense tile contraction beats gather-based sparse SpMM for all protein-scale L
+(the gather path is HBM-latency-bound, the dense path rides the systolic
+array — see the analysis in docs/PERFORMANCE.md). Density is exploited where
+it pays: in HBM traffic (this kernel) and in multi-chip edge partitioning
+(:mod:`..parallel.graph_shard`).
+
+Two kernels:
+- :func:`contact_degrees` — row degrees of the masked adjacency (for
+  symmetric/row normalisation), one pass over tiles.
+- :func:`graphconv_aggregate` — out[b, i, :] = Σ_j Â[b, i, j] · xs[b, j, :]
+  with Â recomputed per tile.
+
+Normalisation identity used by the caller (``gcn_forward_fused``):
+``D^{-1/2} A D^{-1/2} X = D^{-1/2} · aggregate(coords, D^{-1/2} ⊙ X)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metagenomic_deepfri_tpu.ops.cmap_align import _SENTINEL_BASE
+
+_LANE = 128
+
+
+def _choose_tile(L: int) -> int:
+    for t in (256, 128):
+        if L % t == 0:
+            return t
+    raise ValueError(f"L={L} must be a multiple of 128 for the fused kernel")
+
+
+# Channel layout of the kernel-internal packed coords buffer:
+# [0:3] = CA coords, [3] = insertion flag, [4:8] = zero padding.
+_INS_CHANNEL = 3
+
+
+def _pack_coords_ins(coords, ins_mask):
+    """(B, L, 8) float32: coords in [0:3], insertion flag in [3].
+
+    One VMEM-resident buffer instead of a separate (B, L) mask input, whose
+    (1, L) block shape the Mosaic lowering rejects (sublane dim 1 < 8).
+    """
+    B, L, C = coords.shape
+    return jnp.concatenate(
+        [coords.astype(jnp.float32),
+         ins_mask.astype(jnp.float32)[..., None],
+         jnp.zeros((B, L, 8 - C - 1), jnp.float32)], axis=-1)
+
+
+def _adjacency_tile(rows, cols, row_ids, col_ids, n,
+                    threshold: float, generated_contacts: int):
+    """(T, T) float32 tile of the aligned contact map, computed in VMEM.
+
+    ``rows``/``cols`` are (T, 8) packed coords+insertion-flag tiles. Mask
+    semantics mirror ``aligned_contacts_from_coords`` exactly: contacts among
+    real (non-sentinel) positions, OR identity, OR insertion band, AND valid
+    (< length) rows/cols. The distance Gram matmul only sees channels 0:3
+    because the insertion flag lives in channel 3 of BOTH operands — zero it
+    for the geometry product.
+    """
+    T = rows.shape[0]
+    chan = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
+    geo_mask = jnp.where(chan == _INS_CHANNEL, 0.0, 1.0)
+    geo_r = rows * geo_mask
+    geo_c = cols * geo_mask
+    sq_r = jnp.sum(geo_r * geo_r, axis=1, keepdims=True)
+    sq_c = jnp.sum(geo_c * geo_c, axis=1, keepdims=True).T
+    gram = jnp.dot(geo_r, geo_c.T, preferred_element_type=jnp.float32)
+    dist = sq_r + sq_c - 2.0 * gram
+    contact = dist < threshold * threshold
+
+    real_r = (rows[:, 0] < _SENTINEL_BASE * 0.5)[:, None]
+    real_c = (cols[:, 0] < _SENTINEL_BASE * 0.5)[None, :]
+    contact = contact & real_r & real_c
+
+    eye = row_ids == col_ids
+    offset = jnp.abs(row_ids - col_ids)
+    band = (offset > 0) & (offset <= generated_contacts)
+    ins_r = rows[:, _INS_CHANNEL] > 0.5
+    ins_c = cols[:, _INS_CHANNEL] > 0.5
+    ins_pairs = band & (ins_r[:, None] | ins_c[None, :])
+
+    valid = (row_ids < n) & (col_ids < n)
+    return jnp.where((contact | eye | ins_pairs) & valid, 1.0, 0.0)
+
+
+def _make_ids(i, j, T):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) + i * T
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) + j * T
+    return row_ids, col_ids
+
+
+@partial(jax.jit,
+         static_argnames=("threshold", "generated_contacts", "interpret"))
+def contact_degrees(coords: jnp.ndarray, ins_mask: jnp.ndarray,
+                    lengths: jnp.ndarray, threshold: float = 6.0,
+                    generated_contacts: int = 2,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Row degrees of the masked aligned adjacency: (B, L) float32."""
+    B, L, C = coords.shape
+    T = _choose_tile(L)
+    packed = _pack_coords_ins(coords, ins_mask)
+
+    def kernel(len_sref, coords_ref, deg_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        n = len_sref[b]
+        rows = coords_ref[0, pl.ds(i * T, T), :]
+        cols = coords_ref[0, pl.ds(j * T, T), :]
+        row_ids, col_ids = _make_ids(i, j, T)
+        adj = _adjacency_tile(rows, cols, row_ids, col_ids, n,
+                              threshold, generated_contacts)
+        partial_deg = jnp.sum(adj, axis=1, keepdims=True)
+
+        @pl.when(j == 0)
+        def _():
+            deg_ref[0] = jnp.zeros((T, 1), jnp.float32)
+
+        deg_ref[0] += partial_deg
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, L // T, L // T),
+        in_specs=[
+            pl.BlockSpec((1, L, 8), lambda b, i, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, 1), lambda b, i, j, *_: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    deg = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, L, 1), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), packed)
+    return deg[..., 0]
+
+
+@partial(jax.jit,
+         static_argnames=("threshold", "generated_contacts", "interpret",
+                          "compute_dtype"))
+def graphconv_aggregate(coords: jnp.ndarray, ins_mask: jnp.ndarray,
+                        lengths: jnp.ndarray, xs: jnp.ndarray,
+                        threshold: float = 6.0,
+                        generated_contacts: int = 2,
+                        interpret: bool = False,
+                        compute_dtype: str = "float32") -> jnp.ndarray:
+    """out[b, i, :] = Σ_j Â[b, i, j] · xs[b, j, :], Â recomputed per tile.
+
+    Args:
+        coords: (B, L, 3) projected CA coords (sentinels for unmapped).
+        ins_mask: (B, L) bool/float insertion positions.
+        lengths: (B,) int32.
+        xs: (B, L, D) node features (already degree-scaled by the caller for
+            symmetric normalisation). D must be a multiple of 128.
+
+    Returns:
+        (B, L, D) float32 aggregated features.
+    """
+    B, L, C = coords.shape
+    D = xs.shape[-1]
+    if D % _LANE != 0:
+        raise ValueError(f"feature dim {D} must be a multiple of {_LANE}")
+    T = _choose_tile(L)
+    packed = _pack_coords_ins(coords, ins_mask)
+
+    def kernel(len_sref, coords_ref, xs_ref, out_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        n = len_sref[b]
+        rows = coords_ref[0, pl.ds(i * T, T), :]
+        cols = coords_ref[0, pl.ds(j * T, T), :]
+        row_ids, col_ids = _make_ids(i, j, T)
+        adj = _adjacency_tile(rows, cols, row_ids, col_ids, n,
+                              threshold, generated_contacts)
+        # {0,1} adjacency is exact in bfloat16; the dot accumulates in f32,
+        # so bf16 compute here costs only the rounding of xs itself — the
+        # same rounding the XLA bf16 path applies (MXU runs bf16 at 4× f32).
+        cdt = jnp.dtype(compute_dtype)
+        contrib = jnp.dot(adj.astype(cdt), xs_ref[0].astype(cdt),
+                          preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0] = jnp.zeros((T, D), jnp.float32)
+
+        out_ref[0] += contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, L // T, L // T),
+        in_specs=[
+            pl.BlockSpec((1, L, 8), lambda b, i, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda b, i, j, *_: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda b, i, j, *_: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    cost = pl.CostEstimate(
+        flops=2 * B * L * L * (D + 8),
+        bytes_accessed=B * (L * 8 * 4 + (L // T) * L * D * 4 + L * D * 4),
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), packed, xs)
+
+
+def normalized_aggregate(coords, ins_mask, lengths, x,
+                         threshold: float = 6.0, generated_contacts: int = 2,
+                         adj_norm: str = "sym", interpret: bool = False,
+                         degrees: jnp.ndarray | None = None,
+                         compute_dtype: str = "float32"):
+    """Â·x with degree normalisation, fused (no HBM adjacency).
+
+    ``degrees`` may be passed in to amortise the degree pass across the
+    GraphConv stack (the adjacency is layer-invariant). Semantics match
+    ``normalize_adjacency(aligned_contacts_from_coords(...)) @ x``.
+    """
+    if degrees is None:
+        degrees = contact_degrees(coords, ins_mask, lengths,
+                                  threshold=threshold,
+                                  generated_contacts=generated_contacts,
+                                  interpret=interpret)
+    if adj_norm == "none":
+        return graphconv_aggregate(coords, ins_mask, lengths, x,
+                                   threshold=threshold,
+                                   generated_contacts=generated_contacts,
+                                   interpret=interpret,
+                                   compute_dtype=compute_dtype), degrees
+    inv_sqrt = jnp.where(degrees > 0,
+                         jax.lax.rsqrt(jnp.maximum(degrees, 1e-12)), 0.0)
+    if adj_norm == "sym":
+        y = graphconv_aggregate(coords, ins_mask, lengths,
+                                x * inv_sqrt[:, :, None],
+                                threshold=threshold,
+                                generated_contacts=generated_contacts,
+                                interpret=interpret,
+                                compute_dtype=compute_dtype)
+        return y * inv_sqrt[:, :, None], degrees
+    if adj_norm == "row":
+        inv = jnp.where(degrees > 0, 1.0 / jnp.maximum(degrees, 1e-12), 0.0)
+        y = graphconv_aggregate(coords, ins_mask, lengths, x,
+                                threshold=threshold,
+                                generated_contacts=generated_contacts,
+                                interpret=interpret,
+                                compute_dtype=compute_dtype)
+        return y * inv[:, :, None], degrees
+    raise ValueError(f"Unknown adjacency normalisation: {adj_norm}")
