@@ -82,3 +82,37 @@ def test_dryrun_multichip_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+class TestEdgePartitionedAggregate:
+    def test_matches_dense(self):
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            aligned_contacts_from_coords
+        from metagenomic_deepfri_tpu.parallel.graph_shard import \
+            make_edge_partitioned_aggregate
+
+        B, L, D = 2, 64, 16
+        rng = np.random.default_rng(9)
+        coords = np.zeros((B, L, 3), np.float32)
+        lengths = np.array([L, L - 10], np.int32)
+        for b in range(B):
+            n = lengths[b]
+            steps = rng.normal(size=(n, 3)).astype(np.float32)
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            coords[b, :n] = np.cumsum(3.8 * steps, axis=0)
+        ins = np.zeros((B, L), np.float32)
+        ins[0, 5] = 1.0
+        x = rng.normal(size=(B, L, D)).astype(np.float32)
+
+        cd, insd = jnp.asarray(coords), jnp.asarray(ins)
+        ld, xd = jnp.asarray(lengths), jnp.asarray(x)
+        adj = aligned_contacts_from_coords(cd, insd > 0.5, ld)
+        ref = jnp.einsum("bij,bjd->bid", adj, xd,
+                         preferred_element_type=jnp.float32)
+
+        mesh = make_mesh(n_devices=8, model_parallel=8,
+                         axis_names=("data", "model"))
+        fn = make_edge_partitioned_aggregate(mesh, L, D)
+        out = fn(cd, insd, ld, xd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
