@@ -215,18 +215,23 @@ class BatchedPredictor:
 
     def predict_gcn(self, items: List[Tuple[str, str, np.ndarray]],
                     modes: Optional[Iterable[str]] = None,
-                    progress_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
+                    progress_cb=None,
+                    result_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
         """Run GCN forwards for (query_id, sequence, dense_cmap) items.
 
         Returns {mode: {query_id: scores (n_labels,)}}. All requested modes
-        are evaluated per device-resident batch.
+        are evaluated per device-resident batch. ``result_cb``, if given,
+        receives each drained group's partial ``{mode: {qid: scores}}`` as
+        soon as it is fetched (checkpoint streaming).
         """
         modes = list(modes) if modes is not None else list(self.gcn_models)
-        return self._run(items, modes, net="gcn", progress_cb=progress_cb)
+        return self._run(items, modes, net="gcn", progress_cb=progress_cb,
+                         result_cb=result_cb)
 
     def predict_gcn_from_coords(self, items: List[tuple],
                                 modes: Optional[Iterable[str]] = None,
-                                progress_cb=None):
+                                progress_cb=None,
+                                result_cb=None):
         """GCN forwards from (query_id, sequence, proj_coords, ins_mask).
 
         ``proj_coords``/``ins_mask`` come from
@@ -236,16 +241,19 @@ class BatchedPredictor:
         """
         modes = list(modes) if modes is not None else list(self.gcn_models)
         return self._run(items, modes, net="gcn_coords",
-                         progress_cb=progress_cb)
+                         progress_cb=progress_cb, result_cb=result_cb)
 
     def predict_cnn(self, items: List[Tuple[str, str]],
                     modes: Optional[Iterable[str]] = None,
-                    progress_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
+                    progress_cb=None,
+                    result_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
         """Run CNN forwards for (query_id, sequence) items."""
         modes = list(modes) if modes is not None else list(self.cnn_models)
-        return self._run(items, modes, net="cnn", progress_cb=progress_cb)
+        return self._run(items, modes, net="cnn", progress_cb=progress_cb,
+                         result_cb=result_cb)
 
-    def _run(self, items, modes, net: str, progress_cb=None):
+    def _run(self, items, modes, net: str, progress_cb=None,
+             result_cb=None):
         out: Dict[str, Dict[str, np.ndarray]] = {m: {} for m in modes}
         if not items:
             return out
@@ -264,7 +272,8 @@ class BatchedPredictor:
                     batch = min(batch, self.batch_cap)
                 if net == "gcn_coords":
                     self._run_coords_bucket(items, idxs, bucket, batch, modes,
-                                            out, progress_cb)
+                                            out, progress_cb,
+                                            result_cb=result_cb)
                     continue
                 for start in range(0, len(idxs), batch):
                     chunk = [items[i] for i in idxs[start:start + batch]]
@@ -282,16 +291,20 @@ class BatchedPredictor:
                         else:
                             scores = self._cnn_step(mode)(params, *args)
                         pending.append((mode, scores))
+                    group_out = {m: {} for m in modes}
                     for mode, scores in pending:
                         host = np.asarray(scores)
                         for i, item in enumerate(chunk):
                             out[mode][item[0]] = host[i]
+                            group_out[mode][item[0]] = host[i]
+                    if result_cb:
+                        result_cb(group_out)
                     if progress_cb:
                         progress_cb(len(chunk))
         return out
 
     def _run_coords_bucket(self, items, idxs, bucket: int, batch: int,
-                           modes, out, progress_cb=None):
+                           modes, out, progress_cb=None, result_cb=None):
         """Latency-optimised bucket drain for the fused coords path.
 
         Each batch is packed into ONE (B, L, 6) buffer and shipped with an
@@ -318,12 +331,16 @@ class BatchedPredictor:
                     params = self.gcn_models[mode].params
                     per_mode[mode].append(
                         self._gcn_coords_step(mode)(params, x))
+            group_out = {m: {} for m in modes}
             for mode in modes:
                 stacked = (jnp.concatenate(per_mode[mode], axis=0)
                            if len(per_mode[mode]) > 1 else per_mode[mode][0])
                 host = np.asarray(stacked)  # one fetch per mode
                 for i, item in enumerate(chunk_items):
                     out[mode][item[0]] = host[i]
+                    group_out[mode][item[0]] = host[i]
+            if result_cb:
+                result_cb(group_out)
             if progress_cb:
                 progress_cb(len(chunk_items))
 

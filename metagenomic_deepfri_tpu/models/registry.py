@@ -73,34 +73,48 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
     # remove the LM embedding (hidden, embed_dim) once
     if (hidden, embed_dim) in pool:
         pool.remove((hidden, embed_dim))
-    # follow the GraphConv chain from embed_dim
-    gc_dims = []
-    cur = embed_dim
-    while True:
-        nxt = next((s for s in pool if s[0] == cur
-                    and s[1] != 2 * n_labels), None)
-        # avoid consuming the fc layer: the fc input is sum(gc_dims), which
-        # only collides when len(gc_dims) == 1 and dims repeat — the
-        # concat-width check below breaks the chain correctly for the
-        # published 512-512-512 topology.
-        if nxt is None or (gc_dims and cur == sum(gc_dims)):
-            break
-        pool.remove(nxt)
-        gc_dims.append(nxt[1])
-        cur = nxt[1]
-    if not gc_dims:
-        raise ValueError("Could not locate GraphConv weights")
-    # fc chain from concat width
-    fc_dims = []
-    cur = sum(gc_dims)
-    while True:
-        nxt = next((s for s in pool if s[0] == cur
-                    and s[1] != 2 * n_labels), None)
-        if nxt is None:
-            break
-        pool.remove(nxt)
-        fc_dims.append(nxt[1])
-        cur = nxt[1]
+
+    # The weight pool must decompose EXACTLY into
+    #   gc chain:  embed → g1 → … → gk          (k ≥ 1)
+    #   fc chain:  sum(g1..gk) → f1 → … → fm    (m ≥ 0)
+    #   head:      (fm or sum(gc), 2·n_labels)
+    # Greedy chain-following is ambiguous (a layer's in_dim can match both
+    # "next gc" and "fc entry" — e.g. gc=(8,12): after g1 the cursor 8
+    # equals sum so far), so do an exhaustive backtracking search; the pool
+    # has ≤ ~8 entries.
+    def search_fc(pool, cur, fc):
+        if len(pool) == 1 and pool[0] == (cur, 2 * n_labels):
+            return list(fc)
+        for s in list(dict.fromkeys(pool)):
+            if s[0] == cur and s[1] != 2 * n_labels:
+                rest = list(pool)
+                rest.remove(s)
+                r = search_fc(rest, s[1], fc + [s[1]])
+                if r is not None:
+                    return r
+        return None
+
+    def search_gc(pool, cur, gc):
+        if gc:
+            fc = search_fc(pool, sum(gc), [])
+            if fc is not None:
+                return list(gc), fc
+        for s in list(dict.fromkeys(pool)):
+            if s[0] == cur and s[1] != 2 * n_labels:
+                rest = list(pool)
+                rest.remove(s)
+                r = search_gc(rest, s[1], gc + [s[1]])
+                if r is not None:
+                    return r
+        return None
+
+    resolved = search_gc(pool, embed_dim, [])
+    if resolved is None:
+        raise ValueError(
+            f"Could not decompose GCN weight shapes {pool} into "
+            f"gc/fc/head chains from embed_dim={embed_dim}, "
+            f"n_labels={n_labels}")
+    gc_dims, fc_dims = resolved
     return GCNConfig(n_labels=n_labels, vocab=vocab, lm_hidden=hidden,
                      lm_layers=len(lstm_nodes), embed_dim=embed_dim,
                      gc_dims=tuple(gc_dims), fc_dims=tuple(fc_dims),
@@ -141,18 +155,25 @@ def infer_cnn_config(graph: OnnxGraph, n_labels: int,
         w = graph.initializers[node.inputs[1]]
         kernels.append(int(w.shape[-1]))
         filters = int(w.shape[0])
-    shapes = _matmul_weight_shapes(graph)
-    fc_dims = []
-    cur = filters * len(kernels)
-    pool = list(shapes)
-    while True:
-        nxt = next((s for s in pool if s[0] == cur
-                    and s[1] != 2 * n_labels), None)
-        if nxt is None:
-            break
-        pool.remove(nxt)
-        fc_dims.append(nxt[1])
-        cur = nxt[1]
+    pool = list(_matmul_weight_shapes(graph))
+
+    def search_fc(pool, cur, fc):
+        if len(pool) == 1 and pool[0] == (cur, 2 * n_labels):
+            return list(fc)
+        for s in list(dict.fromkeys(pool)):
+            if s[0] == cur and s[1] != 2 * n_labels:
+                rest = list(pool)
+                rest.remove(s)
+                r = search_fc(rest, s[1], fc + [s[1]])
+                if r is not None:
+                    return r
+        return None
+
+    fc_dims = search_fc(pool, filters * len(kernels), [])
+    if fc_dims is None:
+        raise ValueError(
+            f"Could not decompose CNN weight shapes {pool} into fc/head "
+            f"chains from {filters * len(kernels)}, n_labels={n_labels}")
     return CNNConfig(n_labels=n_labels, vocab=vocab, conv_filters=filters,
                      conv_kernels=tuple(kernels), fc_dims=tuple(fc_dims))
 

@@ -37,8 +37,10 @@ from tqdm import tqdm
 from metagenomic_deepfri_tpu import DEEPFRI_MODES
 from metagenomic_deepfri_tpu.align.pairwise import align_mmseqs_results
 from metagenomic_deepfri_tpu.batching.engine import BatchedPredictor
+from metagenomic_deepfri_tpu import profiling
 from metagenomic_deepfri_tpu.bio_utils import (build_align_contact_map,
                                                build_align_projection)
+from metagenomic_deepfri_tpu.checkpoint import PredictionCheckpoint
 from metagenomic_deepfri_tpu.models.registry import load_models
 from metagenomic_deepfri_tpu.search.database import Database, build_database
 from metagenomic_deepfri_tpu.search.pdb import (create_pdb_mmseqs,
@@ -221,7 +223,8 @@ def predict_protein_function(
     # ---- alignment + contact-map stage --------------------------------------
     aligned_cmaps: List[tuple] = []
     for db in databases:
-        alignments = align_mmseqs_results(
+        with profiling.stage(f"align/{db.name}"):
+            alignments = align_mmseqs_results(
             best_matches_filepath=db.mmseqs_result,
             sequence_db=db.sequence_db,
             alignment_gap_open=alignment_gap_open,
@@ -340,20 +343,35 @@ def predict_protein_function(
                  for aln, (proj, ins) in aligned_cmaps]
     cnn_items = list(unaligned_queries.items())
 
-    bar = tqdm(total=(len(gcn_items) + len(cnn_items))
+    # Streaming checkpoint: a killed run resumes here instead of recomputing
+    # every score (the reference restarts inference from scratch).
+    ckpt = PredictionCheckpoint(output_path / "checkpoints")
+    done_gcn = ckpt.completed("gcn", list(gcn_handles))
+    done_cnn = ckpt.completed("cnn", list(cnn_handles))
+    if done_gcn or done_cnn:
+        logger.info("Checkpoint resume: skipping %d GCN and %d CNN queries "
+                    "with complete scores.", len(done_gcn), len(done_cnn))
+    pending_gcn = [it for it in gcn_items if it[0] not in done_gcn]
+    pending_cnn = [it for it in cnn_items if it[0] not in done_cnn]
+
+    bar = tqdm(total=(len(pending_gcn) + len(pending_cnn))
                * len(deepfri_processing_modes),
                desc="Predicting", file=sys.stdout, mininterval=10)
 
     def progress(n):
         bar.update(n * len(deepfri_processing_modes))
 
-    gcn_scores = predictor.predict_gcn_from_coords(gcn_items,
-                                       modes=list(gcn_handles),
-                                       progress_cb=progress)
-    cnn_scores = predictor.predict_cnn(cnn_items,
-                                       modes=list(cnn_handles),
-                                       progress_cb=progress)
+    with profiling.stage("inference/gcn", items=len(pending_gcn)):
+        gcn_scores = predictor.predict_gcn_from_coords(
+            pending_gcn, modes=list(gcn_handles), progress_cb=progress,
+            result_cb=lambda part: ckpt.add("gcn", part))
+    with profiling.stage("inference/cnn", items=len(pending_cnn)):
+        cnn_scores = predictor.predict_cnn(
+            pending_cnn, modes=list(cnn_handles), progress_cb=progress,
+            result_cb=lambda part: ckpt.add("cnn", part))
     bar.close()
+    ckpt.merge_into("gcn", gcn_scores)
+    ckpt.merge_into("cnn", cnn_scores)
 
     # ---- prediction matrices (reference pipeline.py:540-655) -----------------
     matrix_jobs_by_mode: Dict[str, List[Dict[str, Any]]] = {}
@@ -480,4 +498,7 @@ def predict_protein_function(
         for db in databases:
             remove_intermediate_files([db.sequence_db, db.mmseqs_db])
 
+    # results.tsv is written — the streaming checkpoint has served its purpose
+    ckpt.remove()
+    profiling.log_report()
     logger.info("metagenomic-deepfri-tpu finished successfully.")

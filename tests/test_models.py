@@ -157,3 +157,42 @@ class TestOnnxRoundTrip:
         orig = np.asarray(forward_pass_single(params, SMALL_CNN, seq))
         rt = np.asarray(forward_pass_single(imported, SMALL_CNN, seq))
         np.testing.assert_allclose(rt, orig, rtol=1e-5, atol=1e-6)
+
+    def test_gcn_config_inference_ambiguous_chain(self, tmp_path):
+        """infer_gcn_config must recover gc/fc dims even when a layer's
+        in_dim collides with the concat width (greedy chain-following used
+        to stop after gc1 and mis-import gc2 as the head)."""
+        from metagenomic_deepfri_tpu.models.registry import infer_gcn_config
+
+        cfg = GCNConfig(n_labels=5, lm_hidden=8, lm_layers=1, embed_dim=16,
+                        gc_dims=(8, 12), fc_dims=(16,), adj_norm="none")
+        rng = np.random.default_rng(9)
+        params = init_gcn(jax.random.PRNGKey(9), cfg)
+        path = str(tmp_path / "gcn.onnx")
+        export_gcn_to_onnx(params, cfg, path)
+        graph = load_onnx(path)
+        inferred = infer_gcn_config(graph, n_labels=5)
+        assert inferred.gc_dims == (8, 12)
+        assert inferred.fc_dims == (16,)
+
+        imported = import_gcn_params(graph, inferred)
+        seq = "MKVLATQRWE"
+        cmap = _random_cmap(rng, len(seq))
+        orig = np.asarray(forward_pass_single(params, cfg, seq, cmap))
+        rt = np.asarray(forward_pass_single(imported, inferred, seq, cmap))
+        np.testing.assert_allclose(rt, orig, rtol=1e-5, atol=1e-6)
+
+    def test_gcn_config_inference_published_topology(self, tmp_path):
+        """The published 512-512-512 + fcd-1024 shape chain must resolve."""
+        from metagenomic_deepfri_tpu.models.registry import infer_gcn_config
+
+        cfg = GCNConfig(n_labels=7, lm_hidden=16, lm_layers=2, embed_dim=32,
+                        gc_dims=(24, 24, 24), fc_dims=(40,), adj_norm="none")
+        params = init_gcn(jax.random.PRNGKey(10), cfg)
+        path = str(tmp_path / "gcn512.onnx")
+        export_gcn_to_onnx(params, cfg, path)
+        inferred = infer_gcn_config(load_onnx(path), n_labels=7)
+        assert inferred.gc_dims == (24, 24, 24)
+        assert inferred.fc_dims == (40,)
+        assert inferred.lm_layers == 2
+        assert inferred.lm_hidden == 16
