@@ -82,11 +82,14 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
     # "next gc" and "fc entry" — e.g. gc=(8,12): after g1 the cursor 8
     # equals sum so far), so do an exhaustive backtracking search; the pool
     # has ≤ ~8 entries.
+    # A chain layer's width may legitimately equal 2·n_labels, so no shape
+    # is excluded a priori; the terminal condition (exactly the head left)
+    # disambiguates, with backtracking over consumption order.
     def search_fc(pool, cur, fc):
         if len(pool) == 1 and pool[0] == (cur, 2 * n_labels):
             return list(fc)
         for s in list(dict.fromkeys(pool)):
-            if s[0] == cur and s[1] != 2 * n_labels:
+            if s[0] == cur:
                 rest = list(pool)
                 rest.remove(s)
                 r = search_fc(rest, s[1], fc + [s[1]])
@@ -100,7 +103,7 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
             if fc is not None:
                 return list(gc), fc
         for s in list(dict.fromkeys(pool)):
-            if s[0] == cur and s[1] != 2 * n_labels:
+            if s[0] == cur:
                 rest = list(pool)
                 rest.remove(s)
                 r = search_gc(rest, s[1], gc + [s[1]])
@@ -161,7 +164,7 @@ def infer_cnn_config(graph: OnnxGraph, n_labels: int,
         if len(pool) == 1 and pool[0] == (cur, 2 * n_labels):
             return list(fc)
         for s in list(dict.fromkeys(pool)):
-            if s[0] == cur and s[1] != 2 * n_labels:
+            if s[0] == cur:
                 rest = list(pool)
                 rest.remove(s)
                 r = search_fc(rest, s[1], fc + [s[1]])
