@@ -275,21 +275,22 @@ class BatchedPredictor:
                                             out, progress_cb,
                                             result_cb=result_cb)
                     continue
+                if net == "cnn":
+                    self._run_cnn_bucket(items, idxs, bucket, batch, modes,
+                                         out, progress_cb,
+                                         result_cb=result_cb)
+                    continue
                 for start in range(0, len(idxs), batch):
                     chunk = [items[i] for i in idxs[start:start + batch]]
                     tokens, lengths, adj = _pad_batch(
                         chunk, bucket, batch, is_gcn)
-                    args = ((jnp.asarray(tokens), jnp.asarray(adj),
-                             jnp.asarray(lengths)) if is_gcn else
-                            (jnp.asarray(tokens), jnp.asarray(lengths)))
+                    args = (jnp.asarray(tokens), jnp.asarray(adj),
+                            jnp.asarray(lengths))
                     # async dispatch: all modes queued before any fetch
                     pending = []
                     for mode in modes:
                         params = models[mode].params
-                        if net == "gcn":
-                            scores = self._gcn_step(mode)(params, *args)
-                        else:
-                            scores = self._cnn_step(mode)(params, *args)
+                        scores = self._gcn_step(mode)(params, *args)
                         pending.append((mode, scores))
                     group_out = {m: {} for m in modes}
                     for mode, scores in pending:
@@ -302,6 +303,42 @@ class BatchedPredictor:
                     if progress_cb:
                         progress_cb(len(chunk))
         return out
+
+    def _run_cnn_bucket(self, items, idxs, bucket: int, batch: int,
+                        modes, out, progress_cb=None, result_cb=None):
+        """CNN bucket drain with async transfers and one fetch per mode.
+
+        Same latency engineering as :meth:`_run_coords_bucket`: per-batch
+        async ``device_put`` of the two small input arrays, no host sync
+        until the whole group's scores are stacked on device.
+        """
+        group_batches = max(1, _MAX_MEGA_BYTES // max(bucket * batch, 1))
+        group_rows = group_batches * batch
+        for gstart in range(0, len(idxs), group_rows):
+            gidx = idxs[gstart:gstart + group_rows]
+            chunk_items = [items[i] for i in gidx]
+            per_mode = {m: [] for m in modes}
+            for start in range(0, len(gidx), batch):
+                chunk = chunk_items[start:start + batch]
+                tokens, lengths, _ = _pad_batch(chunk, bucket, batch, False)
+                tokens_d = jax.device_put(tokens)
+                lengths_d = jax.device_put(lengths)
+                for mode in modes:
+                    params = self.cnn_models[mode].params
+                    per_mode[mode].append(
+                        self._cnn_step(mode)(params, tokens_d, lengths_d))
+            group_out = {m: {} for m in modes}
+            for mode in modes:
+                stacked = (jnp.concatenate(per_mode[mode], axis=0)
+                           if len(per_mode[mode]) > 1 else per_mode[mode][0])
+                host = np.asarray(stacked)
+                for i, item in enumerate(chunk_items):
+                    out[mode][item[0]] = host[i]
+                    group_out[mode][item[0]] = host[i]
+            if result_cb:
+                result_cb(group_out)
+            if progress_cb:
+                progress_cb(len(chunk_items))
 
     def _run_coords_bucket(self, items, idxs, bucket: int, batch: int,
                            modes, out, progress_cb=None, result_cb=None):
