@@ -131,7 +131,8 @@ class BatchedPredictor:
                  batch_cap: Optional[int] = None,
                  contact_threshold: float = 6.0,
                  generated_contacts: int = 2,
-                 spmm: str = "xla"):
+                 spmm: str = "xla",
+                 mesh=None):
         self.gcn_models = gcn_models or {}
         self.cnn_models = cnn_models or {}
         self.buckets = tuple(buckets)
@@ -146,22 +147,51 @@ class BatchedPredictor:
         if spmm not in ("xla", "pallas"):
             raise ValueError(f"spmm must be 'xla' or 'pallas', got {spmm!r}")
         self.spmm = spmm
+        # Optional jax.sharding.Mesh: packed batches shard over its 'data'
+        # axis (params replicated), so one engine drives a whole host's
+        # chips. Batch sizes scale by the data-axis size so each chip keeps
+        # its single-chip occupancy.
+        self.mesh = mesh
+        self._data_parallel = 1
+        if mesh is not None:
+            from metagenomic_deepfri_tpu.parallel.mesh import DATA_AXIS
+            self._data_parallel = mesh.shape[DATA_AXIS]
         self._gcn_jit = {}
         self._gcn_coords_jit = {}
         self._cnn_jit = {}
 
     # -- compiled forwards ---------------------------------------------------
 
+    def _jit(self, fn, batch_ranks):
+        """jit ``fn(params, *batch_args)``, sharding batch args over 'data'.
+
+        ``batch_ranks``: rank of each batch argument; its leading (batch)
+        dimension is sharded over the mesh's data axis, params replicated.
+        Without a mesh this is a plain jit.
+        """
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from metagenomic_deepfri_tpu.parallel.mesh import DATA_AXIS
+
+        def sh(spec):
+            return NamedSharding(self.mesh, spec)
+
+        batch_sh = tuple(
+            sh(P(DATA_AXIS, *([None] * (r - 1)))) for r in batch_ranks)
+        return jax.jit(fn, in_shardings=(None,) + batch_sh,
+                       out_shardings=sh(P(DATA_AXIS, None)))
+
     def _gcn_step(self, mode: str):
         if mode not in self._gcn_jit:
             handle = self.gcn_models[mode]
 
-            @partial(jax.jit, static_argnums=())
             def step(params, tokens, adj_u8, lengths):
                 adj = adj_u8.astype(jnp.float32)
                 return gcn_forward(params, handle.config, tokens, adj, lengths)
 
-            self._gcn_jit[mode] = step
+            self._gcn_jit[mode] = self._jit(step, (2, 3, 1))
         return self._gcn_jit[mode]
 
     def _gcn_coords_step(self, mode: str):
@@ -179,7 +209,6 @@ class BatchedPredictor:
             gen = self.generated_contacts
             use_pallas = self.spmm == "pallas"
 
-            @partial(jax.jit, static_argnums=())
             def step(params, packed):
                 coords = packed[..., :3]
                 tokens = packed[..., 3].astype(jnp.uint8)
@@ -197,18 +226,17 @@ class BatchedPredictor:
                 return gcn_forward(params, handle.config, tokens, adj,
                                    lengths)
 
-            self._gcn_coords_jit[mode] = step
+            self._gcn_coords_jit[mode] = self._jit(step, (3,))
         return self._gcn_coords_jit[mode]
 
     def _cnn_step(self, mode: str):
         if mode not in self._cnn_jit:
             handle = self.cnn_models[mode]
 
-            @partial(jax.jit, static_argnums=())
             def step(params, tokens, lengths):
                 return cnn_forward(params, handle.config, tokens, lengths)
 
-            self._cnn_jit[mode] = step
+            self._cnn_jit[mode] = self._jit(step, (2, 1))
         return self._cnn_jit[mode]
 
     # -- public API ------------------------------------------------------------
@@ -267,9 +295,11 @@ class BatchedPredictor:
             for bucket in sorted(plan):
                 idxs = plan[bucket]
                 batch = (gcn_batch_size(bucket) if is_gcn
-                         else cnn_batch_size(bucket))
+                         else cnn_batch_size(bucket)) * self._data_parallel
                 if self.batch_cap:
                     batch = min(batch, self.batch_cap)
+                if batch % self._data_parallel:
+                    batch += self._data_parallel - batch % self._data_parallel
                 if net == "gcn_coords":
                     self._run_coords_bucket(items, idxs, bucket, batch, modes,
                                             out, progress_cb,

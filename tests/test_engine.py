@@ -129,3 +129,35 @@ class TestBatchedPredictor:
             np.testing.assert_allclose(coords_out["mf"][f"q{i}"],
                                        dense_out["mf"][f"q{i}"],
                                        rtol=1e-5, atol=1e-6)
+
+    def test_mesh_data_parallel_engine(self):
+        """Engine with a mesh shards batches over 'data'; results match the
+        single-device engine bitwise (same params, same packing)."""
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+        from metagenomic_deepfri_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(31)
+        params = init_gcn(jax.random.PRNGKey(8), GCN_CFG)
+        handle = ModelHandle("gcn", "mf", GCN_CFG, params)
+        mesh = make_mesh(n_devices=8, model_parallel=1)
+
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        items = []
+        for i in range(19):
+            L = int(rng.integers(20, 120))
+            seq = "".join(rng.choice(list(aas), size=L))
+            steps = rng.normal(size=(L, 3)).astype(np.float32)
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+            proj, ins, _ = project_alignment_coords(seq, seq, coords)
+            items.append((f"q{i}", seq, proj, ins))
+
+        single = BatchedPredictor(gcn_models={"mf": handle})
+        sharded = BatchedPredictor(gcn_models={"mf": handle}, mesh=mesh)
+        ref = single.predict_gcn_from_coords(items)
+        out = sharded.predict_gcn_from_coords(items)
+        assert set(out["mf"]) == set(ref["mf"])
+        for q in ref["mf"]:
+            np.testing.assert_allclose(out["mf"][q], ref["mf"][q],
+                                       rtol=1e-5, atol=1e-6)
