@@ -25,13 +25,17 @@ _TARGET_TOK_ELEMS = 512 * 1024
 
 def assign_bucket(length: int,
                   buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
-    """Smallest bucket that fits ``length``; raises if none does."""
+    """Smallest bucket that fits ``length``.
+
+    Lengths beyond the configured ceiling get an ad-hoc 256-aligned bucket
+    (one extra compile, tiny batch) instead of an error — the reference
+    imposes no length limit (its per-protein ONNX calls are dynamically
+    shaped), so neither do we.
+    """
     for b in buckets:
         if length <= b:
             return b
-    raise ValueError(
-        f"Sequence length {length} exceeds largest bucket {buckets[-1]}; "
-        "raise the bucket ceiling or filter with --max-length")
+    return -(-length // 256) * 256
 
 
 def gcn_batch_size(bucket: int) -> int:

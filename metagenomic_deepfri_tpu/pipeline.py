@@ -334,10 +334,20 @@ def predict_protein_function(
 
     gcn_handles, cnn_handles, _ = load_models(weights,
                                               deepfri_processing_modes)
+    # Use every visible chip: data-parallel mesh over the local devices
+    # (single-device → plain jit). The reference is single-accelerator only.
+    import jax as _jax
+    mesh = None
+    if _jax.device_count() > 1:
+        from metagenomic_deepfri_tpu.parallel import make_mesh
+        mesh = make_mesh(model_parallel=1)
+        logger.info("Sharding inference over %d devices (data-parallel).",
+                    _jax.device_count())
     predictor = BatchedPredictor(gcn_models=gcn_handles,
                                  cnn_models=cnn_handles,
                                  contact_threshold=angstrom_contact_threshold,
-                                 generated_contacts=generate_contacts)
+                                 generated_contacts=generate_contacts,
+                                 mesh=mesh)
 
     gcn_items = [(aln.query_name, aln.query_sequence, proj, ins)
                  for aln, (proj, ins) in aligned_cmaps]

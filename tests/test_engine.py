@@ -161,3 +161,29 @@ class TestBatchedPredictor:
         for q in ref["mf"]:
             np.testing.assert_allclose(out["mf"][q], ref["mf"][q],
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestOversizeBuckets:
+    def test_assign_beyond_ceiling(self):
+        assert assign_bucket(2049) == 2304
+        assert assign_bucket(5000) == 5120
+
+    def test_engine_handles_oversize_protein(self):
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+
+        rng = np.random.default_rng(40)
+        params = init_gcn(jax.random.PRNGKey(12), GCN_CFG)
+        handle = ModelHandle("gcn", "mf", GCN_CFG, params)
+        # tiny bucket list forces the ad-hoc path with a short "oversize" seq
+        engine = BatchedPredictor(gcn_models={"mf": handle}, buckets=(32,))
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        L = 70  # > 32 ceiling → ad-hoc 256 bucket
+        seq = "".join(rng.choice(list(aas), size=L))
+        steps = rng.normal(size=(L, 3)).astype(np.float32)
+        steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+        coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+        proj, ins, _ = project_alignment_coords(seq, seq, coords)
+        out = engine.predict_gcn_from_coords([("big", seq, proj, ins)])
+        assert "big" in out["mf"]
+        assert np.isfinite(out["mf"]["big"]).all()

@@ -116,3 +116,12 @@ class TestEdgePartitionedAggregate:
         out = fn(cd, insd, ld, xd)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_pod_mesh_single_host():
+    from metagenomic_deepfri_tpu.parallel.mesh import make_pod_mesh
+
+    mesh = make_pod_mesh(model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_pod_mesh(model_parallel=1)
+    assert mesh.shape == {"data": 8, "model": 1}
