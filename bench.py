@@ -17,7 +17,7 @@ from metagenomic_deepfri_tpu.bench_utils import run_gcn_benchmark
 
 
 def main():
-    print(run_gcn_benchmark(bucket=512, batches=8, n_labels=512))
+    print(run_gcn_benchmark(bucket=512, batches=16, n_labels=512))
 
 
 if __name__ == "__main__":

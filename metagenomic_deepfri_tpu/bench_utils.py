@@ -82,6 +82,18 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
     run = (engine.predict_gcn_from_coords if path == "coords"
            else engine.predict_gcn)
 
+    # edges/protein estimate from a sample (diagonal + thresholded pairs),
+    # for the edges/s throughput figure
+    sample = items[:: max(1, len(items) // 64)][:64]
+    if form == "coords":
+        from metagenomic_deepfri_tpu.ops.contact import pairwise_sqeuclidean
+
+        nnz = [int((pairwise_sqeuclidean(it[2]) < 36.0).sum())
+               for it in sample]
+    else:
+        nnz = [int(np.asarray(it[2]).sum()) for it in sample]
+    edges_per_protein = float(np.mean(nnz))
+
     # warm-up / compile
     run(items[:batch])
     t0 = time.perf_counter()
@@ -102,6 +114,8 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
             "elapsed_s": round(elapsed, 3),
             "compute_dtype": compute_dtype,
             "path": path,
+            "edges_per_sec": round(pps * edges_per_protein, 1),
+            "edges_per_protein": round(edges_per_protein, 1),
             "device": str(jax.devices()[0]),
         },
     }
