@@ -359,12 +359,14 @@ class BatchedPredictor:
                         self._cnn_step(mode)(params, tokens_d, lengths_d))
             group_out = {m: {} for m in modes}
             for mode in modes:
-                stacked = (jnp.concatenate(per_mode[mode], axis=0)
-                           if len(per_mode[mode]) > 1 else per_mode[mode][0])
-                host = np.asarray(stacked)
+                # one bulk fetch per mode; device_get drains the chunk list
+                # without a device-side concat (which would recompile per
+                # distinct chunk count)
+                hosts = jax.device_get(per_mode[mode])
                 for i, item in enumerate(chunk_items):
-                    out[mode][item[0]] = host[i]
-                    group_out[mode][item[0]] = host[i]
+                    row = hosts[i // batch][i % batch]
+                    out[mode][item[0]] = row
+                    group_out[mode][item[0]] = row
             if result_cb:
                 result_cb(group_out)
             if progress_cb:
@@ -400,12 +402,14 @@ class BatchedPredictor:
                         self._gcn_coords_step(mode)(params, x))
             group_out = {m: {} for m in modes}
             for mode in modes:
-                stacked = (jnp.concatenate(per_mode[mode], axis=0)
-                           if len(per_mode[mode]) > 1 else per_mode[mode][0])
-                host = np.asarray(stacked)  # one fetch per mode
+                # one bulk fetch per mode; device_get drains the chunk list
+                # without a device-side concat (which would recompile per
+                # distinct chunk count)
+                hosts = jax.device_get(per_mode[mode])
                 for i, item in enumerate(chunk_items):
-                    out[mode][item[0]] = host[i]
-                    group_out[mode][item[0]] = host[i]
+                    row = hosts[i // batch][i % batch]
+                    out[mode][item[0]] = row
+                    group_out[mode][item[0]] = row
             if result_cb:
                 result_cb(group_out)
             if progress_cb:
