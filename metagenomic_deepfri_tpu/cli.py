@@ -317,6 +317,37 @@ def make_cmaps(input_dir, output_dir, threshold):
                 cmap)
 
 
+@main.command("verify-weights")
+@click.option("--weights", "-w", required=True,
+              type=click.Path(exists=True),
+              help="Path to the folder containing model weights.")
+@click.option("--n-proteins", default=10, type=int, show_default=True,
+              help="Random proteins per model.")
+@click.option("--tolerance", default=1e-4, type=float, show_default=True,
+              help="Max allowed abs score difference JAX vs ONNX.")
+@click.option("--seed", default=0, type=int, show_default=True)
+def verify_weights_cmd(weights, n_proteins, tolerance, seed):
+    """Check JAX-vs-ONNX numerical parity for every model in a weights dir.
+
+    Mirrors the reference's ONNX-vs-TF2 conversion validation
+    (weight_convert/README.md): each imported model's scores must match
+    executing its actual ONNX graph on random proteins.
+    """
+    from metagenomic_deepfri_tpu.parity import verify_weights
+
+    results = verify_weights(weights, n_proteins=n_proteins,
+                             tolerance=tolerance, seed=seed)
+    failed = [r for r in results if not r.ok]
+    for r in results:
+        click.echo(f"{r.net}/{r.mode}: max|diff|={r.max_abs_diff:.2e} "
+                   f"({'OK' if r.ok else 'FAIL'})")
+    if failed:
+        raise click.ClickException(
+            f"{len(failed)}/{len(results)} models exceed tolerance "
+            f"{tolerance}")
+    click.echo(f"All {len(results)} models within {tolerance}.")
+
+
 @main.command()
 @click.option("--bucket", default=512, type=int, show_default=True,
               help="Length bucket to benchmark.")
