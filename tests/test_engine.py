@@ -187,3 +187,55 @@ class TestOversizeBuckets:
         out = engine.predict_gcn_from_coords([("big", seq, proj, ins)])
         assert "big" in out["mf"]
         assert np.isfinite(out["mf"]["big"]).all()
+
+
+class TestStreaming:
+    def test_stream_matches_batch_api(self):
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+
+        rng = np.random.default_rng(50)
+        params = init_gcn(jax.random.PRNGKey(14), GCN_CFG)
+        handle = ModelHandle("gcn", "mf", GCN_CFG, params)
+        engine = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4)
+
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        items = []
+        for i in range(11):
+            L = int(rng.integers(20, 200))
+            seq = "".join(rng.choice(list(aas), size=L))
+            steps = rng.normal(size=(L, 3)).astype(np.float32)
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+            proj, ins, _ = project_alignment_coords(seq, seq, coords)
+            items.append((f"q{i}", seq, proj, ins))
+
+        ref = engine.predict_gcn_from_coords(items)
+        streamed = {}
+        progress = []
+        n = engine.predict_stream(
+            iter(items), net="gcn_coords",
+            result_cb=lambda part: streamed.update(part["mf"]),
+            progress_cb=progress.append,
+            max_inflight=2)
+        assert n == 11
+        assert sum(progress) == 11
+        assert set(streamed) == set(ref["mf"])
+        for q in ref["mf"]:
+            np.testing.assert_allclose(streamed[q], ref["mf"][q],
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_stream_cnn(self):
+        rng = np.random.default_rng(51)
+        params = init_cnn(jax.random.PRNGKey(15), CNN_CFG)
+        handle = ModelHandle("cnn", "bp", CNN_CFG, params)
+        engine = BatchedPredictor(cnn_models={"bp": handle}, batch_cap=3)
+        items = [(qid, seq) for qid, seq, _ in _mk_items(7, rng)]
+        ref = engine.predict_cnn(items)
+        got = {}
+        n = engine.predict_stream(iter(items), net="cnn",
+                                  result_cb=lambda p: got.update(p["bp"]))
+        assert n == 7
+        for q in ref["bp"]:
+            np.testing.assert_allclose(got[q], ref["bp"][q],
+                                       rtol=1e-5, atol=1e-6)
