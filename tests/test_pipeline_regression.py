@@ -187,3 +187,60 @@ def test_ec_dropped_for_v11(weights_dir, tmp_path):
     assert modes == ["mf"]
     with pytest.raises(ValueError):
         _initialize_processing_modes(["ec"], {"version": "1.1"})
+
+
+def test_crash_resume_from_checkpoint(weights_dir, data_dir, tmp_path,
+                                      monkeypatch, caplog):
+    """A run killed after inference resumes from the streaming checkpoint:
+    the rerun skips completed queries and produces a complete results.tsv."""
+    import logging
+
+    import metagenomic_deepfri_tpu.pipeline as pipeline_mod
+    from metagenomic_deepfri_tpu.batching.engine import BatchedPredictor
+
+    path, queries, targets = data_dir
+    out = tmp_path / "results"
+
+    qf = load_query_file(path / "queries.faa")
+    dbs = hierarchical_database_search(
+        query_file=qf, output_path=out / "database_search",
+        databases=[path / "targets.fasta"], skip_pdb=True,
+        max_eval=1e-3, threads=2)
+    monkeypatch.setattr(
+        pipeline_mod, "extract_calpha_coords",
+        lambda db, tids, qids, save_directory=None, threads=1:
+        _fake_extract_calpha_coords(db, tids, qids, targets,
+                                    save_directory, threads))
+
+    # crash AFTER CNN scores are computed and checkpointed, BEFORE results
+    real_cnn = BatchedPredictor.predict_cnn
+
+    def crashing_cnn(self, items, modes=None, progress_cb=None,
+                     result_cb=None):
+        real_cnn(self, items, modes=modes, progress_cb=progress_cb,
+                 result_cb=result_cb)
+        raise RuntimeError("simulated crash after inference")
+
+    monkeypatch.setattr(BatchedPredictor, "predict_cnn", crashing_cnn)
+    qf2 = load_query_file(path / "queries.faa")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        predict_protein_function(
+            query_file=qf2, databases=tuple(dbs), weights=weights_dir,
+            output_path=out, deepfri_processing_modes=["mf"], threads=2)
+    assert (out / "checkpoints").exists()
+    assert list((out / "checkpoints").glob("part-*.npz"))
+
+    # rerun without the crash: must resume and complete
+    monkeypatch.setattr(BatchedPredictor, "predict_cnn", real_cnn)
+    caplog.set_level(logging.INFO)
+    qf3 = load_query_file(path / "queries.faa")
+    predict_protein_function(
+        query_file=qf3, databases=tuple(dbs), weights=weights_dir,
+        output_path=out, deepfri_processing_modes=["mf"], threads=2)
+    assert "Checkpoint resume" in caplog.text
+    assert (out / "results.tsv").exists()
+    assert not (out / "checkpoints").exists()
+    with open(out / "results.tsv") as f:
+        rows = f.read().strip().splitlines()
+    assert rows[0].split("\t") == FINAL_OUTPUT_HEADER
+    assert len(rows) > 1
