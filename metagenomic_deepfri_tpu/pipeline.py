@@ -221,76 +221,175 @@ def predict_protein_function(
     output_path.mkdir(parents=True, exist_ok=True)
 
     # ---- alignment + contact-map stage --------------------------------------
+    # Runs as a PRODUCER: each database's pyOpal-style re-alignment,
+    # coordinate extraction, and O(L) projection happen on host threads while
+    # the consumer (the batched TPU engine below) is already predicting the
+    # previous database's proteins — removing the reference's strict phase
+    # barrier between CPU preprocessing and accelerator compute (SURVEY.md §7
+    # hard part (e); reference cli.py:458-497).
     aligned_cmaps: List[tuple] = []
-    for db in databases:
-        with profiling.stage(f"align/{db.name}"):
-            alignments = align_mmseqs_results(
-            best_matches_filepath=db.mmseqs_result,
-            sequence_db=db.sequence_db,
-            alignment_gap_open=alignment_gap_open,
-            alignment_gap_extend=alignment_gap_continuation,
-            threads=threads,
-            scoring_matrix=scoring_matrix)
-        if not alignments:
-            logger.info("No alignments found for %s.", db.name)
-            continue
-        for aln in alignments:
-            aln.db_name = db.name
 
-        aligned_queries = [a[0].query_name for a in aligned_cmaps]
-        new_alignments = {
-            aln.query_name: aln
-            for aln in alignments
-            if aln.query_name not in aligned_queries
-            and aln.query_name in query_file.sequences
-        }
+    def _produce_aligned(emit):
+        """Walk databases in order, appending to aligned_cmaps and calling
+        ``emit((aln, (proj, ins)))`` for each successfully projected hit."""
+        for db in databases:
+            with profiling.stage(f"align/{db.name}"):
+                alignments = align_mmseqs_results(
+                    best_matches_filepath=db.mmseqs_result,
+                    sequence_db=db.sequence_db,
+                    alignment_gap_open=alignment_gap_open,
+                    alignment_gap_extend=alignment_gap_continuation,
+                    threads=threads,
+                    scoring_matrix=scoring_matrix)
+            if not alignments:
+                logger.info("No alignments found for %s.", db.name)
+                continue
+            for aln in alignments:
+                aln.db_name = db.name
 
-        blocklist = _load_blocklist(db.name)
-        if blocklist:
+            aligned_queries = [a[0].query_name for a in aligned_cmaps]
             new_alignments = {
-                q: a for q, a in new_alignments.items()
-                if a.target_name not in blocklist
+                aln.query_name: aln
+                for aln in alignments
+                if aln.query_name not in aligned_queries
+                and aln.query_name in query_file.sequences
             }
-        if not new_alignments:
-            continue
 
-        query_ids = [a.query_name for a in new_alignments.values()]
-        target_ids = [a.target_name.rsplit(".", 1)[0]
-                      for a in new_alignments.values()]
+            blocklist = _load_blocklist(db.name)
+            if blocklist:
+                new_alignments = {
+                    q: a for q, a in new_alignments.items()
+                    if a.target_name not in blocklist
+                }
+            if not new_alignments:
+                continue
 
-        save_dir = None
-        if save_structures:
-            save_dir = output_path / "structures" / db.name
-            save_dir.mkdir(parents=True, exist_ok=True)
+            query_ids = [a.query_name for a in new_alignments.values()]
+            target_ids = [a.target_name.rsplit(".", 1)[0]
+                          for a in new_alignments.values()]
+
+            save_dir = None
+            if save_structures:
+                save_dir = output_path / "structures" / db.name
+                save_dir.mkdir(parents=True, exist_ok=True)
+            try:
+                coords = extract_calpha_coords(db, target_ids, query_ids,
+                                               save_directory=save_dir,
+                                               threads=threads)
+            except RuntimeError as e:
+                logger.warning("Coordinate extraction failed for %s (%s); "
+                               "queries fall back to sequence-only "
+                               "prediction.", db.name, e)
+                continue
+            for aln, coord in zip(new_alignments.values(), coords):
+                aln.coords = coord
+
+            # Fused-path prep: O(L) coordinate projection per protein;
+            # adjacency is built on device inside the batched GCN step.
+            with ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
+                cmaps = list(pool.map(build_align_projection,
+                                      new_alignments.values()))
+
+            partial_cmaps = [c for c in cmaps if c[1] is not None]
+            for pair in partial_cmaps:
+                aligned_cmaps.append(pair)
+                emit(pair)
+            denom = max(len(query_file.sequences), 1)
+            logger.info(
+                "Aligned %d/%d (%.2f%%) proteins against %s "
+                "[without length invalid].", len(partial_cmaps), denom,
+                len(partial_cmaps) / denom * 100, db.name)
+            logger.info(
+                "Aligned %d/%d (%.2f%%) proteins in total "
+                "[without length invalid].", len(aligned_cmaps), denom,
+                len(aligned_cmaps) / denom * 100)
+
+    # ---- models + engine (loaded BEFORE alignment so inference overlaps) ----
+    gcn_handles, cnn_handles, _ = load_models(weights,
+                                              deepfri_processing_modes)
+    # Use every visible chip: data-parallel mesh over the local devices
+    # (single-device → plain jit). The reference is single-accelerator only.
+    import jax as _jax
+    mesh = None
+    if _jax.device_count() > 1:
+        from metagenomic_deepfri_tpu.parallel import make_mesh
+        mesh = make_mesh(model_parallel=1)
+        logger.info("Sharding inference over %d devices (data-parallel).",
+                    _jax.device_count())
+    predictor = BatchedPredictor(gcn_models=gcn_handles,
+                                 cnn_models=cnn_handles,
+                                 contact_threshold=angstrom_contact_threshold,
+                                 generated_contacts=generate_contacts,
+                                 mesh=mesh)
+
+    # Streaming checkpoint: a killed run resumes here instead of recomputing
+    # every score (the reference restarts inference from scratch).
+    ckpt = PredictionCheckpoint(output_path / "checkpoints")
+    done_gcn = ckpt.completed("gcn", list(gcn_handles))
+    done_cnn = ckpt.completed("cnn", list(cnn_handles))
+    if done_gcn or done_cnn:
+        logger.info("Checkpoint resume: skipping %d GCN and %d CNN queries "
+                    "with complete scores.", len(done_gcn), len(done_cnn))
+
+    # ---- overlapped alignment (producer thread) + GCN inference (consumer) --
+    import queue as _queue
+    import threading as _threading
+
+    work_q: "_queue.Queue" = _queue.Queue(maxsize=4096)
+    stop = _threading.Event()
+    producer_exc: list = []
+
+    def _safe_put(item) -> bool:
+        while True:
+            try:
+                work_q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                if stop.is_set():  # consumer gone — stop feeding
+                    return False
+
+    def _emit(pair):
+        aln, (proj, ins) = pair
+        if aln.query_name in done_gcn:
+            return
+        _safe_put((aln.query_name, aln.query_sequence, proj, ins))
+
+    def _producer():
         try:
-            coords = extract_calpha_coords(db, target_ids, query_ids,
-                                           save_directory=save_dir,
-                                           threads=threads)
-        except RuntimeError as e:
-            logger.warning("Coordinate extraction failed for %s (%s); "
-                           "queries fall back to sequence-only prediction.",
-                           db.name, e)
-            continue
-        for aln, coord in zip(new_alignments.values(), coords):
-            aln.coords = coord
+            _produce_aligned(_emit)
+        except BaseException as e:  # surfaced after join
+            producer_exc.append(e)
+        finally:
+            _safe_put(None)
 
-        # Fused-path prep: O(L) coordinate projection per protein; adjacency
-        # is built on device inside the batched GCN step (no host O(L²)).
-        with ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
-            cmaps = list(pool.map(build_align_projection,
-                                  new_alignments.values()))
+    def _items_iter():
+        while True:
+            item = work_q.get()
+            if item is None:
+                return
+            yield item
 
-        partial_cmaps = [c for c in cmaps if c[1] is not None]
-        aligned_cmaps.extend(partial_cmaps)
-        denom = max(len(query_file.sequences), 1)
-        logger.info(
-            "Aligned %d/%d (%.2f%%) proteins against %s "
-            "[without length invalid].", len(partial_cmaps), denom,
-            len(partial_cmaps) / denom * 100, db.name)
-        logger.info(
-            "Aligned %d/%d (%.2f%%) proteins in total "
-            "[without length invalid].", len(aligned_cmaps), denom,
-            len(aligned_cmaps) / denom * 100)
+    gcn_bar = tqdm(desc="Predicting (GCN)", file=sys.stdout, mininterval=10)
+    producer_thread = _threading.Thread(target=_producer, daemon=True)
+    producer_thread.start()
+    try:
+        with profiling.stage("inference/gcn"):
+            n_gcn = predictor.predict_stream(
+                _items_iter(), net="gcn_coords", modes=list(gcn_handles),
+                result_cb=lambda part: ckpt.add("gcn", part),
+                progress_cb=gcn_bar.update)
+        profiling.add_items("inference/gcn", items=n_gcn)
+    finally:
+        stop.set()
+        producer_thread.join()
+        gcn_bar.close()
+    if producer_exc:
+        raise producer_exc[0]
+
+    # matrix row order: by length, as the reference sorts (pipeline.py:528)
+    gcn_items = [(aln.query_name, aln.query_sequence)
+                 for aln, _ in sorted(aligned_cmaps,
+                                      key=lambda x: len(x[0].query_sequence))]
 
     if save_cmaps:
         # Dense maps are only materialised on host when explicitly requested
@@ -326,60 +425,21 @@ def predict_protein_function(
             writer.writerow([qid, False, np.nan, np.nan, np.nan, np.nan,
                              np.nan])
 
-    # ---- batched inference -----------------------------------------------------
-    aligned_cmaps = sorted(aligned_cmaps,
-                           key=lambda x: len(x[0].query_sequence))
+    # ---- CNN fallback for queries with no structure hit ----------------------
     unaligned_queries = dict(
         sorted(unaligned_queries.items(), key=lambda x: len(x[1])))
-
-    gcn_handles, cnn_handles, _ = load_models(weights,
-                                              deepfri_processing_modes)
-    # Use every visible chip: data-parallel mesh over the local devices
-    # (single-device → plain jit). The reference is single-accelerator only.
-    import jax as _jax
-    mesh = None
-    if _jax.device_count() > 1:
-        from metagenomic_deepfri_tpu.parallel import make_mesh
-        mesh = make_mesh(model_parallel=1)
-        logger.info("Sharding inference over %d devices (data-parallel).",
-                    _jax.device_count())
-    predictor = BatchedPredictor(gcn_models=gcn_handles,
-                                 cnn_models=cnn_handles,
-                                 contact_threshold=angstrom_contact_threshold,
-                                 generated_contacts=generate_contacts,
-                                 mesh=mesh)
-
-    gcn_items = [(aln.query_name, aln.query_sequence, proj, ins)
-                 for aln, (proj, ins) in aligned_cmaps]
     cnn_items = list(unaligned_queries.items())
-
-    # Streaming checkpoint: a killed run resumes here instead of recomputing
-    # every score (the reference restarts inference from scratch).
-    ckpt = PredictionCheckpoint(output_path / "checkpoints")
-    done_gcn = ckpt.completed("gcn", list(gcn_handles))
-    done_cnn = ckpt.completed("cnn", list(cnn_handles))
-    if done_gcn or done_cnn:
-        logger.info("Checkpoint resume: skipping %d GCN and %d CNN queries "
-                    "with complete scores.", len(done_gcn), len(done_cnn))
-    pending_gcn = [it for it in gcn_items if it[0] not in done_gcn]
     pending_cnn = [it for it in cnn_items if it[0] not in done_cnn]
-
-    bar = tqdm(total=(len(pending_gcn) + len(pending_cnn))
-               * len(deepfri_processing_modes),
-               desc="Predicting", file=sys.stdout, mininterval=10)
-
-    def progress(n):
-        bar.update(n * len(deepfri_processing_modes))
-
-    with profiling.stage("inference/gcn", items=len(pending_gcn)):
-        gcn_scores = predictor.predict_gcn_from_coords(
-            pending_gcn, modes=list(gcn_handles), progress_cb=progress,
-            result_cb=lambda part: ckpt.add("gcn", part))
+    bar = tqdm(total=len(pending_cnn) * len(deepfri_processing_modes),
+               desc="Predicting (CNN)", file=sys.stdout, mininterval=10)
     with profiling.stage("inference/cnn", items=len(pending_cnn)):
         cnn_scores = predictor.predict_cnn(
-            pending_cnn, modes=list(cnn_handles), progress_cb=progress,
+            pending_cnn, modes=list(cnn_handles),
+            progress_cb=lambda n: bar.update(
+                n * len(deepfri_processing_modes)),
             result_cb=lambda part: ckpt.add("cnn", part))
     bar.close()
+    gcn_scores = {m: {} for m in gcn_handles}
     ckpt.merge_into("gcn", gcn_scores)
     ckpt.merge_into("cnn", cnn_scores)
 
