@@ -387,35 +387,51 @@ class BatchedPredictor:
 
         Groups bound in-flight host staging memory to ~_MAX_MEGA_BYTES.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         row_bytes = bucket * _PACK_CHANNELS * 4
         group_rows = max(batch, (_MAX_MEGA_BYTES // row_bytes) // batch * batch)
-        for gstart in range(0, len(idxs), group_rows):
-            gidx = idxs[gstart:gstart + group_rows]
-            chunk_items = [items[i] for i in gidx]
-            per_mode = {m: [] for m in modes}
-            for start in range(0, len(gidx), batch):
-                chunk = chunk_items[start:start + batch]
-                packed = _pack_coords_mega(chunk, bucket, batch)
-                x = jax.device_put(packed)  # async H2D
+        # pack-ahead worker: batch k+1 is packed on a thread while batch k's
+        # transfer/dispatch is in flight (numpy packing releases the GIL in
+        # the copy loops enough to overlap with the async runtime)
+        packer = ThreadPoolExecutor(max_workers=1)
+        try:
+            for gstart in range(0, len(idxs), group_rows):
+                gidx = idxs[gstart:gstart + group_rows]
+                chunk_items = [items[i] for i in gidx]
+                per_mode = {m: [] for m in modes}
+                starts = list(range(0, len(gidx), batch))
+                fut = packer.submit(_pack_coords_mega,
+                                    chunk_items[starts[0]:starts[0] + batch],
+                                    bucket, batch)
+                for si, start in enumerate(starts):
+                    packed = fut.result()
+                    if si + 1 < len(starts):
+                        nxt = starts[si + 1]
+                        fut = packer.submit(_pack_coords_mega,
+                                            chunk_items[nxt:nxt + batch],
+                                            bucket, batch)
+                    x = jax.device_put(packed)  # async H2D
+                    for mode in modes:
+                        params = self.gcn_models[mode].params
+                        per_mode[mode].append(
+                            self._gcn_coords_step(mode)(params, x))
+                group_out = {m: {} for m in modes}
                 for mode in modes:
-                    params = self.gcn_models[mode].params
-                    per_mode[mode].append(
-                        self._gcn_coords_step(mode)(params, x))
-            group_out = {m: {} for m in modes}
-            for mode in modes:
-                # one bulk fetch per mode; device_get drains the chunk list
-                # without a device-side concat (which would recompile per
-                # distinct chunk count)
-                hosts = jax.device_get(per_mode[mode])
-                for i, item in enumerate(chunk_items):
-                    row = hosts[i // batch][i % batch]
-                    out[mode][item[0]] = row
-                    group_out[mode][item[0]] = row
-            if result_cb:
-                result_cb(group_out)
-            if progress_cb:
-                progress_cb(len(chunk_items))
-
+                    # one bulk fetch per mode; device_get drains the chunk
+                    # list without a device-side concat (which would
+                    # recompile per distinct chunk count)
+                    hosts = jax.device_get(per_mode[mode])
+                    for i, item in enumerate(chunk_items):
+                        row = hosts[i // batch][i % batch]
+                        out[mode][item[0]] = row
+                        group_out[mode][item[0]] = row
+                if result_cb:
+                    result_cb(group_out)
+                if progress_cb:
+                    progress_cb(len(chunk_items))
+        finally:
+            packer.shutdown(wait=True)
 
     # -- streaming API -------------------------------------------------------
 
