@@ -52,6 +52,7 @@ class GCNConfig:
     vocab: int = VOCAB_SIZE
     lm_hidden: int = 512
     lm_layers: int = 2
+    lm_bidirectional: bool = False
     embed_dim: int = 1024
     gc_dims: Tuple[int, ...] = (512, 512, 512)
     fc_dims: Tuple[int, ...] = (1024,)
@@ -92,10 +93,12 @@ def _dense(p, x):
 def init_gcn(key, config: GCNConfig) -> dict:
     keys = jax.random.split(key, 8 + len(config.gc_dims) + len(config.fc_dims))
     ki = iter(keys)
+    lm_out = config.lm_hidden * (2 if config.lm_bidirectional else 1)
     params = {
         "lm": init_lstm_stack(next(ki), config.vocab, config.lm_hidden,
-                              config.lm_layers),
-        "lm_embed": _dense_init(next(ki), config.lm_hidden, config.embed_dim,
+                              config.lm_layers,
+                              bidirectional=config.lm_bidirectional),
+        "lm_embed": _dense_init(next(ki), lm_out, config.embed_dim,
                                 bias=False),
         "aa_embed": _dense_init(next(ki), config.vocab, config.embed_dim,
                                 bias=True),
@@ -186,7 +189,7 @@ def _gcn_trunk(params: dict, config: GCNConfig, tokens: jnp.ndarray,
 
     # Sequence branch: LSTM-LM + residue embedding (frozen-LM design of the
     # reference models; see module docstring).
-    lm_out = lstm_stack_forward(params["lm"], onehot)
+    lm_out = lstm_stack_forward(params["lm"], onehot, lengths)
     x = _dense(params["lm_embed"], lm_out) + _dense(params["aa_embed"], onehot)
     x = jax.nn.relu(x).astype(dtype)
 
@@ -268,7 +271,7 @@ def gcn_forward_fused(params: dict, config: GCNConfig, tokens: jnp.ndarray,
              < lengths[:, None]).astype(jnp.float32)
     onehot = onehot * valid[:, :, None]
 
-    lm_out = lstm_stack_forward(params["lm"], onehot)
+    lm_out = lstm_stack_forward(params["lm"], onehot, lengths)
     x = _dense(params["lm_embed"], lm_out) + _dense(params["aa_embed"], onehot)
     x = jax.nn.relu(x).astype(dtype)
 

@@ -69,16 +69,60 @@ def lstm_forward(params: dict, x: jnp.ndarray,
 
 
 def init_lstm_stack(key, in_dim: int, hidden: int, layers: int,
-                    dtype=jnp.float32) -> list:
+                    dtype=jnp.float32, bidirectional: bool = False) -> list:
     params = []
+    layer_out = hidden * (2 if bidirectional else 1)
     for i in range(layers):
-        key, sub = jax.random.split(key)
-        params.append(init_lstm(sub, in_dim if i == 0 else hidden, hidden,
-                                dtype))
+        d = in_dim if i == 0 else layer_out
+        if bidirectional:
+            key, k1, k2 = jax.random.split(key, 3)
+            params.append({"fwd": init_lstm(k1, d, hidden, dtype),
+                           "bwd": init_lstm(k2, d, hidden, dtype)})
+        else:
+            key, sub = jax.random.split(key)
+            params.append(init_lstm(sub, d, hidden, dtype))
     return params
 
 
-def lstm_stack_forward(params: list, x: jnp.ndarray) -> jnp.ndarray:
+def reverse_sequences(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Flip each row of a right-padded (B, L, D) batch within its length.
+
+    Positions beyond the row's length stay in place (they are zero/ignored),
+    so a reverse-direction scan sees the sequence back-to-front exactly as an
+    unpadded per-protein run would (ONNX LSTM ``direction=reverse``
+    semantics under our padding convention).
+    """
+    B, L = x.shape[0], x.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    flipped = lengths[:, None] - 1 - pos
+    idx = jnp.where(pos < lengths[:, None], flipped, pos)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+def lstm_bidirectional_forward(params: dict, x: jnp.ndarray,
+                               lengths: jnp.ndarray) -> jnp.ndarray:
+    """Bidirectional layer {'fwd': ..., 'bwd': ...} → (B, L, 2H) concat.
+
+    The backward pass runs a forward scan over the length-aware reversed
+    input, and its outputs are reversed back — matching ONNX bidirectional
+    LSTM output ordering [forward ‖ backward] per position.
+    """
+    fwd = lstm_forward(params["fwd"], x)
+    x_rev = reverse_sequences(x, lengths)
+    bwd = reverse_sequences(lstm_forward(params["bwd"], x_rev), lengths)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def lstm_stack_forward(params: list, x: jnp.ndarray,
+                       lengths: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Run a stack of LSTM layers; entries are unidirectional param dicts or
+    {'fwd','bwd'} bidirectional pairs (which require ``lengths``)."""
     for layer in params:
-        x = lstm_forward(layer, x)
+        if "fwd" in layer:
+            if lengths is None:
+                raise ValueError(
+                    "bidirectional LSTM layers require sequence lengths")
+            x = lstm_bidirectional_forward(layer, x, lengths)
+        else:
+            x = lstm_forward(layer, x)
     return x

@@ -48,16 +48,30 @@ def _ifco_to_iofc(w_4h: np.ndarray, hidden: int) -> np.ndarray:
     return np.concatenate([i, o, f, c], axis=0)
 
 
-def lstm_params_from_onnx(W: np.ndarray, R: np.ndarray,
-                          B: np.ndarray) -> dict:
-    """ONNX LSTM initializers (1, 4H, D), (1, 4H, H), (1, 8H) → our layout."""
+def _lstm_dir_from_onnx(W, R, B, d: int) -> dict:
     hidden = R.shape[-1]
-    kernel = _iofc_to_ifco(W[0], hidden).T          # (D, 4H)
-    recurrent = _iofc_to_ifco(R[0], hidden).T        # (H, 4H)
-    wb, rb = B[0][:4 * hidden], B[0][4 * hidden:]
+    kernel = _iofc_to_ifco(W[d], hidden).T          # (D, 4H)
+    recurrent = _iofc_to_ifco(R[d], hidden).T        # (H, 4H)
+    wb, rb = B[d][:4 * hidden], B[d][4 * hidden:]
     bias = _iofc_to_ifco(wb, hidden) + _iofc_to_ifco(rb, hidden)
     return {"kernel": jnp.asarray(kernel), "recurrent": jnp.asarray(recurrent),
             "bias": jnp.asarray(bias)}
+
+
+def lstm_params_from_onnx(W: np.ndarray, R: np.ndarray,
+                          B: np.ndarray) -> dict:
+    """ONNX LSTM initializers (num_dir, 4H, D), (num_dir, 4H, H),
+    (num_dir, 8H) → our layout.
+
+    num_dir=1 → a unidirectional param dict; num_dir=2 (bidirectional) →
+    ``{'fwd': ..., 'bwd': ...}`` consumed by
+    :func:`..lstm.lstm_bidirectional_forward` (ONNX direction 0 is forward,
+    1 is reverse).
+    """
+    if W.shape[0] == 2:
+        return {"fwd": _lstm_dir_from_onnx(W, R, B, 0),
+                "bwd": _lstm_dir_from_onnx(W, R, B, 1)}
+    return _lstm_dir_from_onnx(W, R, B, 0)
 
 
 def lstm_params_to_onnx(params: dict) -> tuple[np.ndarray, np.ndarray,
@@ -509,7 +523,9 @@ def import_gcn_params(graph: OnnxGraph, config: GCNConfig) -> dict:
         lm.append(lstm_params_from_onnx(W, R, B))
 
     entries = _topo_matmul_weights(graph)
-    lm_k, _ = _take_matmul(entries, config.lm_hidden, config.embed_dim,
+    lm_out = config.lm_hidden * (2 if getattr(config, "lm_bidirectional",
+                                              False) else 1)
+    lm_k, _ = _take_matmul(entries, lm_out, config.embed_dim,
                            "LM embedding")
     aa_k, aa_b = _take_matmul(entries, config.vocab, config.embed_dim,
                               "AA embedding")

@@ -62,6 +62,8 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
     if not lstm_nodes:
         raise ValueError("No LSTM nodes found — not a DeepFRI GCN graph?")
     hidden = graph.initializers[lstm_nodes[0].inputs[2]].shape[-1]
+    num_dir = graph.initializers[lstm_nodes[0].inputs[1]].shape[0]
+    lm_out = hidden * num_dir
     shapes = _matmul_weight_shapes(graph)
 
     embed_candidates = [s for s in shapes if s[0] == vocab]
@@ -70,9 +72,9 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
     embed_dim = embed_candidates[0][1]
 
     pool = [s for s in shapes if s[0] != vocab]
-    # remove the LM embedding (hidden, embed_dim) once
-    if (hidden, embed_dim) in pool:
-        pool.remove((hidden, embed_dim))
+    # remove the LM embedding (lm_out, embed_dim) once
+    if (lm_out, embed_dim) in pool:
+        pool.remove((lm_out, embed_dim))
 
     # The weight pool must decompose EXACTLY into
     #   gc chain:  embed → g1 → … → gk          (k ≥ 1)
@@ -120,6 +122,7 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
     gc_dims, fc_dims = resolved
     return GCNConfig(n_labels=n_labels, vocab=vocab, lm_hidden=hidden,
                      lm_layers=len(lstm_nodes), embed_dim=embed_dim,
+                     lm_bidirectional=num_dir == 2,
                      gc_dims=tuple(gc_dims), fc_dims=tuple(fc_dims),
                      adj_norm=detect_adj_norm(graph))
 

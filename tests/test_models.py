@@ -196,3 +196,72 @@ class TestOnnxRoundTrip:
         assert inferred.fc_dims == (40,)
         assert inferred.lm_layers == 2
         assert inferred.lm_hidden == 16
+
+
+class TestBidirectionalLSTM:
+    """JAX bidirectional layer vs the ONNX executor's LSTM evaluation
+    (per-protein unpadded runs, the reference execution model)."""
+
+    def _onnx_lstm_ref(self, W, R, B, x_single):
+        """Evaluate a bidirectional ONNX LSTM node on one (L, D) input."""
+        from metagenomic_deepfri_tpu.models.onnx_import import OnnxExecutor
+        from metagenomic_deepfri_tpu.models.onnx_reader import (OnnxGraph,
+                                                                OnnxNode,
+                                                                OnnxValueInfo)
+
+        L, D = x_single.shape
+        H = R.shape[-1]
+        node = OnnxNode("LSTM", ["X", "W", "R", "B"], ["Y", "Yh", "Yc"],
+                        "lstm", {"hidden_size": H,
+                                 "direction": b"bidirectional"})
+        graph = OnnxGraph(
+            nodes=[node],
+            initializers={"W": W, "R": R, "B": B},
+            inputs=[OnnxValueInfo("X", 1, [L, 1, D])],
+            outputs=[OnnxValueInfo("Y", 1, [L, 2, 1, H])])
+        (Y,) = OnnxExecutor(graph).run(
+            {"X": x_single[:, None, :].astype(np.float32)})
+        # (L, 2, 1, H) → (L, 2H) with [fwd ‖ bwd]
+        return np.concatenate([Y[:, 0, 0, :], Y[:, 1, 0, :]], axis=-1)
+
+    def test_padded_batch_matches_unpadded_onnx(self):
+        from metagenomic_deepfri_tpu.models.lstm import (
+            lstm_bidirectional_forward)
+        from metagenomic_deepfri_tpu.models.onnx_import import (
+            lstm_params_from_onnx)
+
+        rng = np.random.default_rng(17)
+        D, H, Lmax = 6, 5, 12
+        W = rng.normal(size=(2, 4 * H, D)).astype(np.float32) * 0.3
+        R = rng.normal(size=(2, 4 * H, H)).astype(np.float32) * 0.3
+        B = rng.normal(size=(2, 8 * H)).astype(np.float32) * 0.1
+        params = lstm_params_from_onnx(W, R, B)
+        assert "fwd" in params and "bwd" in params
+
+        lengths = np.array([Lmax, 7], np.int32)
+        x = np.zeros((2, Lmax, D), np.float32)
+        for b, n in enumerate(lengths):
+            x[b, :n] = rng.normal(size=(n, D)).astype(np.float32)
+
+        out = np.asarray(lstm_bidirectional_forward(
+            params, jnp.asarray(x), jnp.asarray(lengths)))
+        for b, n in enumerate(lengths):
+            ref = self._onnx_lstm_ref(W, R, B, x[b, :n])
+            np.testing.assert_allclose(out[b, :n], ref, rtol=1e-5, atol=1e-5)
+
+    def test_gcn_with_bidirectional_lm(self):
+        """End-to-end GCN forward with a bi-LSTM LM config."""
+        cfg = GCNConfig(n_labels=3, lm_hidden=4, lm_layers=2,
+                        lm_bidirectional=True, embed_dim=8, gc_dims=(4,),
+                        fc_dims=(8,), adj_norm="none")
+        params = init_gcn(jax.random.PRNGKey(2), cfg)
+        assert "fwd" in params["lm"][0]
+        assert params["lm_embed"]["kernel"].shape[0] == 8  # 2H
+        L = 10
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(1, 20, (2, L)), dtype=jnp.uint8)
+        adj = jnp.tile(jnp.eye(L)[None], (2, 1, 1))
+        lengths = jnp.asarray(np.array([10, 6], np.int32))
+        out = gcn_forward(params, cfg, tokens, adj, lengths)
+        assert out.shape == (2, 3)
+        assert np.isfinite(np.asarray(out)).all()
