@@ -54,10 +54,13 @@ class ModelHandle:
     gonames: Optional[list] = None
 
 
-# Channel layout of the packed float32 input buffer (one H2D transfer per
-# super-chunk instead of four small latency-bound transfers over the link):
-# [0:3]=CA coords, [3]=token id, [4]=insertion mask, [5]=length (broadcast).
-_PACK_CHANNELS = 6
+# Byte layout of the packed uint8 wire buffer (ONE H2D transfer per batch
+# instead of four small latency-bound transfers over the link), (B, L, 16):
+# [0:12]=CA coords (3 × f32 little-endian bytes, bitcast back on device —
+# exact), [12]=token id, [13]=insertion mask, [14:16]=length (uint16 LE,
+# broadcast along L). 16 bytes/residue vs the naive 6-channel float32
+# layout's 24 — the link is the bottleneck, not the unpack.
+_PACK_BYTES = 16
 
 # Cap on a single packed host→device transfer. Large enough to amortise link
 # latency, small enough to bound host pinned-memory and device staging.
@@ -65,21 +68,42 @@ _MAX_MEGA_BYTES = 256 * 1024 * 1024
 
 
 def _pack_coords_mega(items: List[tuple], bucket: int, n_rows: int):
-    """Pack (id, seq, proj_coords, ins_mask) items into ONE (N, L, 6) f32.
+    """Pack (id, seq, proj_coords, ins_mask) items into ONE (N, L, 16) uint8.
 
-    Ships O(B·L) floats per protein instead of the O(B·L²) dense adjacency —
+    Ships O(B·L) bytes per protein instead of the O(B·L²) dense adjacency —
     the adjacency is reconstructed on device inside the fused GCN step.
-    Trailing rows beyond ``len(items)`` stay zero (length 0 → fully masked).
+    Coordinates travel as their raw float32 bytes (bitwise exact after the
+    on-device bitcast). Trailing rows beyond ``len(items)`` stay zero
+    (length 0 → fully masked).
     """
-    mega = np.zeros((n_rows, bucket, _PACK_CHANNELS), dtype=np.float32)
+    mega = np.zeros((n_rows, bucket, _PACK_BYTES), dtype=np.uint8)
     for i, (_, seq, proj, ins_mask) in enumerate(items):
         t = seq2tokens(seq)
         L = t.shape[0]
-        mega[i, : proj.shape[0], :3] = proj
-        mega[i, :L, 3] = t
-        mega[i, : ins_mask.shape[0], 4] = ins_mask
-        mega[i, :, 5] = L
+        proj = np.ascontiguousarray(proj, dtype=np.float32)
+        mega[i, : proj.shape[0], :12] = proj.view(np.uint8).reshape(-1, 12)
+        mega[i, :L, 12] = t
+        mega[i, : ins_mask.shape[0], 13] = ins_mask
+        mega[i, :, 14] = L & 0xFF
+        mega[i, :, 15] = (L >> 8) & 0xFF
     return mega
+
+
+def _unpack_coords_mega(packed: jnp.ndarray):
+    """Device-side inverse of :func:`_pack_coords_mega`.
+
+    (B, L, 16) uint8 → (coords (B,L,3) f32, tokens (B,L) uint8,
+    ins_mask (B,L) bool, lengths (B,) int32). The f32 bitcast is exact —
+    verified bit-identical on TPU and CPU backends.
+    """
+    B, L, _ = packed.shape
+    coords = jax.lax.bitcast_convert_type(
+        packed[..., :12].reshape(B, L, 3, 4), jnp.float32)
+    tokens = packed[..., 12]
+    ins_mask = packed[..., 13] != 0
+    lengths = (packed[:, 0, 14].astype(jnp.int32)
+               | (packed[:, 0, 15].astype(jnp.int32) << 8))
+    return coords, tokens, ins_mask, lengths
 
 
 def _pad_batch_coords(items: List[tuple], bucket: int, batch: int):
@@ -211,10 +235,7 @@ class BatchedPredictor:
             use_pallas = self.spmm == "pallas"
 
             def step(params, packed):
-                coords = packed[..., :3]
-                tokens = packed[..., 3].astype(jnp.uint8)
-                ins_mask = packed[..., 4] > 0.5
-                lengths = packed[:, 0, 5].astype(jnp.int32)
+                coords, tokens, ins_mask, lengths = _unpack_coords_mega(packed)
                 if use_pallas:
                     from metagenomic_deepfri_tpu.models.deepfri import \
                         gcn_forward_fused
@@ -377,7 +398,7 @@ class BatchedPredictor:
                            modes, out, progress_cb=None, result_cb=None):
         """Latency-optimised bucket drain for the fused coords path.
 
-        Each batch is packed into ONE (B, L, 6) buffer and shipped with an
+        Each batch is packed into ONE (B, L, 16) uint8 buffer and shipped with an
         async ``jax.device_put`` — transfers pipeline behind compute, so the
         link's per-transfer latency is paid once, not per batch. All (batch,
         mode) steps are dispatched without any host sync; scores are stacked
@@ -389,7 +410,7 @@ class BatchedPredictor:
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        row_bytes = bucket * _PACK_CHANNELS * 4
+        row_bytes = bucket * _PACK_BYTES
         group_rows = max(batch, (_MAX_MEGA_BYTES // row_bytes) // batch * batch)
         # pack-ahead worker: batch k+1 is packed on a thread while batch k's
         # transfer/dispatch is in flight (numpy packing releases the GIL in

@@ -184,8 +184,9 @@ def aligned_contacts_from_coords(proj_coords: jnp.ndarray,
     """Device: aligned adjacency from projected coords (no O(L²) transfer).
 
     Jit-inline-able core of the fused GCN step: threshold the pairwise
-    squared distances of the gathered coordinates (MXU Gram matmul), OR in
-    the identity diagonal and the insertion band, zero the padding.
+    squared distances of the gathered coordinates (exact f32 difference form
+    on the VPU), OR in the identity diagonal and the insertion band, zero
+    the padding.
 
     Args:
         proj_coords: (B, Q, 3) from :func:`project_alignment_coords`, padded
@@ -197,16 +198,16 @@ def aligned_contacts_from_coords(proj_coords: jnp.ndarray,
         (B, Q, Q) float32 adjacency — identical to the host
         :func:`align_contact_map` on the valid block.
     """
-    sq = jnp.einsum("blk,blk->bl", proj_coords, proj_coords)
-    gram = jnp.einsum("bik,bjk->bij", proj_coords, proj_coords,
-                      preferred_element_type=jnp.float32)
-    dist = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+    from metagenomic_deepfri_tpu.ops.contact import \
+        _pairwise_sqeuclidean_device
+
+    dist = _pairwise_sqeuclidean_device(proj_coords)
     contacts = dist < threshold ** 2
 
     B, Q = insertion_mask.shape
     pos = jnp.arange(Q, dtype=jnp.int32)
-    # float32 Gram loses precision at sentinel magnitude (~1e12); force exact
-    # self-contacts and exclude sentinel rows from off-diagonal contacts.
+    # Sentinel self-distance is exactly 0 → diagonal handled by `eye`;
+    # sentinel off-diagonal pairs are masked out via `real` below.
     eye = pos[:, None] == pos[None, :]
     offset = jnp.abs(pos[:, None] - pos[None, :])
     band = (offset > 0) & (offset <= generated_contacts)

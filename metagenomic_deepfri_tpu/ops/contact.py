@@ -4,9 +4,11 @@ Replaces the reference's OpenMP Cython kernel ``pairwise_sqeuclidean``
 (reference ``mDeepFRI/contact_map_utils.pyx:17-37``) and the thresholding in
 ``calculate_contact_map`` (reference ``mDeepFRI/bio_utils.py:196-227``).
 
-TPU-first design: the O(L²) distance matrix is expressed through the MXU via
-the Gram-matrix identity ``‖xᵢ−xⱼ‖² = ‖xᵢ‖² + ‖xⱼ‖² − 2·xᵢ·xⱼ``, batched over
-proteins, and the threshold compare is fused by XLA into the matmul epilogue.
+TPU-first design: the O(L²) distance computation is the exact per-axis
+difference form on the VPU (8 flops/entry, fused by XLA into the threshold
+compare) — NOT the Gram-matrix/MXU identity, whose reduced default f32 matmul
+precision on TPU flips near-threshold contacts (see
+``_pairwise_sqeuclidean_device``).
 A Pallas kernel (`contact_map_kernel`) additionally fuses the whole
 coords→contacts computation in VMEM so the distance matrix never round-trips
 through HBM for large L.
@@ -38,11 +40,15 @@ def pairwise_sqeuclidean(coords: np.ndarray) -> np.ndarray:
     exactly 0, symmetric).
     """
     coords = np.asarray(coords, dtype=np.float32)
-    sq = np.einsum("ik,ik->i", coords, coords)
-    dist = sq[:, None] + sq[None, :] - 2.0 * (coords @ coords.T)
-    np.maximum(dist, 0.0, out=dist)
-    np.fill_diagonal(dist, 0.0)
-    return dist.astype(np.float32)
+    # Difference form, accumulated axis-by-axis in float32 — bit-identical to
+    # the reference's per-pair C loop (well-conditioned, unlike the Gram
+    # identity ‖a‖²+‖b‖²−2a·b whose cancellation loses low bits).
+    L = coords.shape[0]
+    dist = np.zeros((L, L), dtype=np.float32)
+    for k in range(coords.shape[1]):
+        d = coords[:, None, k] - coords[None, :, k]
+        dist += d * d
+    return dist
 
 
 def calculate_contact_map(coordinates: np.ndarray,
@@ -65,8 +71,23 @@ def calculate_contact_map(coordinates: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Device (XLA) path — batched, masked, MXU-friendly.
+# Device (XLA) path — batched, masked, VPU difference form.
 # ---------------------------------------------------------------------------
+
+def _pairwise_sqeuclidean_device(coords: jnp.ndarray) -> jnp.ndarray:
+    """(B, L, L) f32 squared distances, exact difference form.
+
+    Deliberately NOT the Gram/matmul identity: on TPU the default f32 matmul
+    precision is reduced (bf16 passes on the MXU), which perturbs distances
+    by several Å² at protein coordinate magnitudes and flips near-threshold
+    contacts vs the reference. The per-axis difference form is exact f32 on
+    the VPU, fuses into the threshold compare, and costs ~8 flops/entry —
+    negligible next to the GraphConv matmuls.
+    """
+    dx = coords[:, :, None, 0] - coords[:, None, :, 0]
+    dy = coords[:, :, None, 1] - coords[:, None, :, 1]
+    dz = coords[:, :, None, 2] - coords[:, None, :, 2]
+    return dx * dx + dy * dy + dz * dz
 
 @partial(jax.jit, static_argnames=("threshold",))
 def batched_contact_maps(coords: jnp.ndarray,
@@ -85,10 +106,7 @@ def batched_contact_maps(coords: jnp.ndarray,
         contract of the GCN (the aligned cmap of the reference carries an
         identity diagonal, reference ``contact_map_utils.pyx:85-87``).
     """
-    sq = jnp.einsum("blk,blk->bl", coords, coords)
-    gram = jnp.einsum("bik,bjk->bij", coords, coords,
-                      preferred_element_type=jnp.float32)
-    dist = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+    dist = _pairwise_sqeuclidean_device(coords)
     contacts = (dist < threshold ** 2).astype(jnp.float32)
     L = coords.shape[1]
     pos = jnp.arange(L, dtype=jnp.int32)
@@ -140,10 +158,12 @@ def _contact_map_fused_impl(coords, lengths, threshold: float):
         j = pl.program_id(2)
         rows = rows_ref[0]
         cols = cols_ref[0]
-        sq_r = jnp.sum(rows * rows, axis=1, keepdims=True)
-        sq_c = jnp.sum(cols * cols, axis=1, keepdims=True).T
-        gram = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
-        dist = sq_r + sq_c - 2.0 * gram
+        # Exact f32 difference form per axis (see _pairwise_sqeuclidean_device
+        # for why not the Gram matmul).
+        dist = jnp.zeros((_TILE, _TILE), jnp.float32)
+        for k in range(3):
+            d = rows[:, k][:, None] - cols[:, k][None, :]
+            dist = dist + d * d
         n = lengths_sref[b]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0) + i * _TILE
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1) + j * _TILE

@@ -82,19 +82,17 @@ def _adjacency_tile(rows, cols, row_ids, col_ids, n,
     ``rows``/``cols`` are (T, 8) packed coords+insertion-flag tiles. Mask
     semantics mirror ``aligned_contacts_from_coords`` exactly: contacts among
     real (non-sentinel) positions, OR identity, OR insertion band, AND valid
-    (< length) rows/cols. The distance Gram matmul only sees channels 0:3
-    because the insertion flag lives in channel 3 of BOTH operands — zero it
-    for the geometry product.
+    (< length) rows/cols. The distance uses only channels 0:3 (the insertion
+    flag lives in channel 3 and never enters the geometry).
     """
     T = rows.shape[0]
-    chan = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
-    geo_mask = jnp.where(chan == _INS_CHANNEL, 0.0, 1.0)
-    geo_r = rows * geo_mask
-    geo_c = cols * geo_mask
-    sq_r = jnp.sum(geo_r * geo_r, axis=1, keepdims=True)
-    sq_c = jnp.sum(geo_c * geo_c, axis=1, keepdims=True).T
-    gram = jnp.dot(geo_r, geo_c.T, preferred_element_type=jnp.float32)
-    dist = sq_r + sq_c - 2.0 * gram
+    # Exact f32 difference form per axis — matches the reference kernel's
+    # accumulation bit-for-bit; the Gram/MXU identity would run at reduced
+    # f32 matmul precision on TPU and flip near-threshold contacts.
+    dist = jnp.zeros((T, T), jnp.float32)
+    for k in range(3):
+        d = rows[:, k][:, None] - cols[:, k][None, :]
+        dist = dist + d * d
     contact = dist < threshold * threshold
 
     real_r = (rows[:, 0] < _SENTINEL_BASE * 0.5)[:, None]
