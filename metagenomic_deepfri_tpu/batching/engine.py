@@ -106,6 +106,80 @@ def _unpack_coords_mega(packed: jnp.ndarray):
     return coords, tokens, ins_mask, lengths
 
 
+def _flat_header_rows(batch: int) -> int:
+    """Rows reserved at the head of a flat wire buffer for (batch,) int32
+    lengths (4 bytes each, packed into 16-byte rows)."""
+    return -(-batch * 4 // _PACK_BYTES)
+
+
+def _flat_capacity(total_rows: int, bucket: int, batch: int) -> int:
+    """Quantised flat-buffer data-row capacity.
+
+    Rounding the per-batch residue count up to quarters of the full
+    (bucket · batch) footprint bounds the distinct compiled shapes per
+    (bucket, batch) at 4; workloads with a stable length distribution hit
+    one. The cap-dependent part of the program is a tiny standalone unpack
+    jit (see :meth:`BatchedPredictor._flat_unpack`), so a fresh cap costs a
+    sub-second compile, not a recompile of the GCN forward.
+    """
+    quantum = max(2048, (bucket * batch) // 4)
+    cap = -(-max(total_rows, 1) // quantum) * quantum
+    return min(cap, bucket * batch)
+
+
+def _pack_coords_flat(items: List[tuple], batch: int, cap: int):
+    """Pack items contiguously (no per-protein padding) into flat wire rows.
+
+    Returns a ((header + cap), 16) uint8 buffer: a header carrying the
+    (batch,) int32 lengths, then one 16-byte record per *residue* —
+    [0:12]=CA coord f32 bytes, [12]=token, [13]=insertion flag. Proteins
+    occupy ``sum(L_i)`` rows instead of ``batch · bucket``: on
+    half-occupied buckets this halves the host→device bytes again on top of
+    the 16-vs-24 B/residue layout. The padded (B, L) layout is recovered on
+    device by :func:`_unpack_coords_flat` with a cheap gather.
+    """
+    header = _flat_header_rows(batch)
+    mega = np.zeros((header + cap, _PACK_BYTES), dtype=np.uint8)
+    lengths = np.zeros((batch,), dtype=np.int32)
+    row = 0
+    for i, (_, seq, proj, ins_mask) in enumerate(items):
+        t = seq2tokens(seq)
+        L = t.shape[0]
+        lengths[i] = L
+        proj = np.ascontiguousarray(proj, dtype=np.float32)
+        block = mega[header + row: header + row + L]
+        block[: proj.shape[0], :12] = proj.view(np.uint8).reshape(-1, 12)
+        block[:L, 12] = t
+        block[: ins_mask.shape[0], 13] = ins_mask
+        row += L
+    mega[:header].reshape(-1)[: batch * 4] = lengths.view(np.uint8)
+    return mega
+
+
+def _unpack_coords_flat(flat: jnp.ndarray, batch: int, bucket: int):
+    """Device-side inverse of :func:`_pack_coords_flat`.
+
+    Scatters the contiguous per-residue records back into the padded (B, L)
+    layout (one gather — trivial next to the transfer it saves), then
+    reuses the fixed-record unpack.
+    """
+    header = _flat_header_rows(batch)
+    lengths = jax.lax.bitcast_convert_type(
+        flat[:header].reshape(-1, 4), jnp.int32).reshape(-1)[:batch]
+    data = flat[header:]
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lengths)[:-1]])
+    pos = jnp.arange(bucket, dtype=jnp.int32)
+    valid = pos[None, :] < lengths[:, None]
+    idx = offsets[:, None] + jnp.where(valid, pos[None, :], 0)
+    rows = data[idx] * valid[:, :, None].astype(jnp.uint8)
+    coords = jax.lax.bitcast_convert_type(
+        rows[..., :12].reshape(batch, bucket, 3, 4), jnp.float32)
+    tokens = rows[..., 12]
+    ins_mask = rows[..., 13] != 0
+    return coords, tokens, ins_mask, lengths
+
+
 def _pad_batch_coords(items: List[tuple], bucket: int, batch: int):
     """Pack (id, seq, proj_coords, ins_mask) tuples into padded arrays."""
     tokens = np.zeros((batch, bucket), dtype=np.uint8)
@@ -183,6 +257,9 @@ class BatchedPredictor:
             self._data_parallel = mesh.shape[DATA_AXIS]
         self._gcn_jit = {}
         self._gcn_coords_jit = {}
+        self._gcn_flat_jit = {}
+        self._flat_unpack_jit = {}
+        self._flat_cap = {}
         self._cnn_jit = {}
 
     # -- compiled forwards ---------------------------------------------------
@@ -229,27 +306,68 @@ class BatchedPredictor:
         protein per call, predict.pyx:85-90).
         """
         if mode not in self._gcn_coords_jit:
-            handle = self.gcn_models[mode]
-            thr = self.contact_threshold
-            gen = self.generated_contacts
-            use_pallas = self.spmm == "pallas"
+            fwd = self._gcn_coords_forward(mode)
 
             def step(params, packed):
-                coords, tokens, ins_mask, lengths = _unpack_coords_mega(packed)
-                if use_pallas:
-                    from metagenomic_deepfri_tpu.models.deepfri import \
-                        gcn_forward_fused
-                    return gcn_forward_fused(
-                        params, handle.config, tokens, coords, ins_mask,
-                        lengths, threshold=thr, generated_contacts=gen)
-                adj = aligned_contacts_from_coords(
-                    coords, ins_mask, lengths, threshold=thr,
-                    generated_contacts=gen)
-                return gcn_forward(params, handle.config, tokens, adj,
-                                   lengths)
+                return fwd(params, *_unpack_coords_mega(packed))
 
             self._gcn_coords_jit[mode] = self._jit(step, (3,))
         return self._gcn_coords_jit[mode]
+
+    def _gcn_coords_forward(self, mode: str):
+        """Unjitted (coords, tokens, ins_mask, lengths) → scores forward."""
+        handle = self.gcn_models[mode]
+        thr = self.contact_threshold
+        gen = self.generated_contacts
+        use_pallas = self.spmm == "pallas"
+
+        def fwd(params, coords, tokens, ins_mask, lengths):
+            if use_pallas:
+                from metagenomic_deepfri_tpu.models.deepfri import \
+                    gcn_forward_fused
+                return gcn_forward_fused(
+                    params, handle.config, tokens, coords, ins_mask,
+                    lengths, threshold=thr, generated_contacts=gen)
+            adj = aligned_contacts_from_coords(
+                coords, ins_mask, lengths, threshold=thr,
+                generated_contacts=gen)
+            return gcn_forward(params, handle.config, tokens, adj, lengths)
+
+        return fwd
+
+    def _flat_cap_for(self, total_rows: int, bucket: int, batch: int) -> int:
+        """Grow-only flat capacity per (bucket, batch).
+
+        Quantised caps near a workload's typical residue count flap between
+        two quanta batch-to-batch (each flap retraces the unpack jit);
+        remembering the high-water mark converges every stable workload to
+        ONE compiled unpack shape after the first few batches.
+        """
+        key = (bucket, batch)
+        cap = max(self._flat_cap.get(key, 0),
+                  _flat_capacity(total_rows, bucket, batch))
+        self._flat_cap[key] = cap
+        return cap
+
+    def _flat_unpack(self, batch: int, bucket: int):
+        """Tiny jitted flat-wire unpack; the only cap-shaped program.
+
+        Kept separate from the GCN forward so a new flat capacity compiles
+        in well under a second instead of re-tracing the full model (whose
+        512-step LSTM scan costs seconds to compile). The unpacked arrays
+        stay on device and feed the cap-independent forward jit.
+        """
+        key = (batch, bucket)
+        if key not in self._flat_unpack_jit:
+            self._flat_unpack_jit[key] = jax.jit(
+                partial(_unpack_coords_flat, batch=batch, bucket=bucket))
+        return self._flat_unpack_jit[key]
+
+    def _gcn_coords_args_step(self, mode: str):
+        """Jitted forward over already-unpacked (coords, tokens, ins, len)."""
+        if mode not in self._gcn_flat_jit:
+            self._gcn_flat_jit[mode] = jax.jit(self._gcn_coords_forward(mode))
+        return self._gcn_flat_jit[mode]
 
     def _cnn_step(self, mode: str):
         if mode not in self._cnn_jit:
@@ -412,6 +530,18 @@ class BatchedPredictor:
 
         row_bytes = bucket * _PACK_BYTES
         group_rows = max(batch, (_MAX_MEGA_BYTES // row_bytes) // batch * batch)
+        # Flat (padding-free) wire format on the single-chip path; the mesh
+        # path keeps the fixed (B, L, 16) layout so batches shard cleanly
+        # over the data axis.
+        use_flat = self.mesh is None
+
+        def pack_one(chunk):
+            if not use_flat:
+                return _pack_coords_mega(chunk, bucket, batch), None
+            total = sum(len(it[1]) for it in chunk)
+            cap = self._flat_cap_for(total, bucket, batch)
+            return _pack_coords_flat(chunk, batch, cap), cap
+
         # pack-ahead worker: batch k+1 is packed on a thread while batch k's
         # transfer/dispatch is in flight (numpy packing releases the GIL in
         # the copy loops enough to overlap with the async runtime)
@@ -422,21 +552,25 @@ class BatchedPredictor:
                 chunk_items = [items[i] for i in gidx]
                 per_mode = {m: [] for m in modes}
                 starts = list(range(0, len(gidx), batch))
-                fut = packer.submit(_pack_coords_mega,
-                                    chunk_items[starts[0]:starts[0] + batch],
-                                    bucket, batch)
+                fut = packer.submit(pack_one,
+                                    chunk_items[starts[0]:starts[0] + batch])
                 for si, start in enumerate(starts):
-                    packed = fut.result()
+                    packed, cap = fut.result()
                     if si + 1 < len(starts):
                         nxt = starts[si + 1]
-                        fut = packer.submit(_pack_coords_mega,
-                                            chunk_items[nxt:nxt + batch],
-                                            bucket, batch)
+                        fut = packer.submit(pack_one,
+                                            chunk_items[nxt:nxt + batch])
                     x = jax.device_put(packed)  # async H2D
+                    if use_flat:
+                        args = self._flat_unpack(batch, bucket)(x)
                     for mode in modes:
                         params = self.gcn_models[mode].params
-                        per_mode[mode].append(
-                            self._gcn_coords_step(mode)(params, x))
+                        if use_flat:
+                            scores = self._gcn_coords_args_step(mode)(
+                                params, *args)
+                        else:
+                            scores = self._gcn_coords_step(mode)(params, x)
+                        per_mode[mode].append(scores)
                 group_out = {m: {} for m in modes}
                 for mode in modes:
                     # one bulk fetch per mode; device_get drains the chunk
@@ -507,10 +641,20 @@ class BatchedPredictor:
             batch = max(batch, len(chunk))
             scores = {}
             if is_gcn:
-                packed = _pack_coords_mega(chunk, bucket, batch)
-                x = jax.device_put(packed)
-                for m in modes:
-                    scores[m] = self._gcn_coords_step(m)(models[m].params, x)
+                if self.mesh is None:
+                    total = sum(len(it[1]) for it in chunk)
+                    cap = self._flat_cap_for(total, bucket, batch)
+                    x = jax.device_put(_pack_coords_flat(chunk, batch, cap))
+                    args = self._flat_unpack(batch, bucket)(x)
+                    for m in modes:
+                        scores[m] = self._gcn_coords_args_step(m)(
+                            models[m].params, *args)
+                else:
+                    x = jax.device_put(_pack_coords_mega(chunk, bucket,
+                                                         batch))
+                    for m in modes:
+                        scores[m] = self._gcn_coords_step(m)(
+                            models[m].params, x)
             else:
                 tokens, lengths, _ = _pad_batch(chunk, bucket, batch, False)
                 t_d = jax.device_put(tokens)

@@ -94,8 +94,10 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
         nnz = [int(np.asarray(it[2]).sum()) for it in sample]
     edges_per_protein = float(np.mean(nnz))
 
-    # warm-up / compile
-    run(items[:batch])
+    # warm-up / compile: one full untimed pass covers every compiled shape
+    # (buckets, flat-wire capacity variants), so the timed pass measures
+    # steady-state throughput
+    run(items)
     t0 = time.perf_counter()
     run(items)
     elapsed = time.perf_counter() - t0
