@@ -239,3 +239,64 @@ class TestStreaming:
         for q in ref["bp"]:
             np.testing.assert_allclose(got[q], ref["bp"][q],
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestFlatWire:
+    """Unit tests for the padding-free flat wire format (pack → unpack)."""
+
+    def _roundtrip(self, lengths, batch, bucket):
+        from metagenomic_deepfri_tpu.batching.engine import (
+            _flat_capacity, _pack_coords_flat, _unpack_coords_flat)
+
+        rng = np.random.default_rng(42)
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        items = []
+        for i, L in enumerate(lengths):
+            seq = "".join(rng.choice(list(aas), size=L))
+            coords = (rng.normal(size=(L, 3)) * 200).astype(np.float32)
+            ins = rng.random(L) < 0.2
+            items.append((f"q{i}", seq, coords, ins))
+        total = sum(lengths)
+        cap = _flat_capacity(total, bucket, batch)
+        assert cap >= total
+        flat = _pack_coords_flat(items, batch, cap)
+        coords, tokens, ins_mask, out_len = jax.jit(
+            _unpack_coords_flat, static_argnames=("batch", "bucket"))(
+                flat, batch=batch, bucket=bucket)
+        coords, tokens, ins_mask, out_len = map(
+            np.asarray, (coords, tokens, ins_mask, out_len))
+        from metagenomic_deepfri_tpu.ops.one_hot import seq2tokens
+
+        for i, (qid, seq, c, ins) in enumerate(items):
+            L = len(seq)
+            assert out_len[i] == L
+            # coords bit-exact through the uint8 bitcast wire
+            assert np.array_equal(coords[i, :L], c)
+            assert np.array_equal(tokens[i, :L], seq2tokens(seq))
+            assert np.array_equal(ins_mask[i, :L], ins)
+            # padding rows fully zeroed
+            assert not coords[i, L:].any()
+            assert not tokens[i, L:].any()
+            assert not ins_mask[i, L:].any()
+        for i in range(len(items), batch):
+            assert out_len[i] == 0
+
+    def test_roundtrip_mixed_lengths(self):
+        self._roundtrip([5, 64, 63, 17, 1], batch=8, bucket=64)
+
+    def test_roundtrip_full_bucket(self):
+        # every protein exactly bucket-length: cap == bucket * batch
+        self._roundtrip([32, 32, 32, 32], batch=4, bucket=32)
+
+    def test_roundtrip_single_item(self):
+        self._roundtrip([7], batch=4, bucket=128)
+
+    def test_grow_only_cap(self):
+        handle = ModelHandle("gcn", "mf", GCN_CFG,
+                             init_gcn(jax.random.PRNGKey(0), GCN_CFG))
+        engine = BatchedPredictor(gcn_models={"mf": handle}, buckets=(64,))
+        small = engine._flat_cap_for(10, 64, 8)
+        big = engine._flat_cap_for(512, 64, 8)
+        again_small = engine._flat_cap_for(10, 64, 8)
+        assert big >= small
+        assert again_small == big  # high-water mark never shrinks
