@@ -189,7 +189,8 @@ def _gcn_trunk(params: dict, config: GCNConfig, tokens: jnp.ndarray,
 
     # Sequence branch: LSTM-LM + residue embedding (frozen-LM design of the
     # reference models; see module docstring).
-    lm_out = lstm_stack_forward(params["lm"], onehot, lengths)
+    lm_out = lstm_stack_forward(params["lm"], onehot, lengths,
+                                compute_dtype=dtype)
     x = _dense(params["lm_embed"], lm_out) + _dense(params["aa_embed"], onehot)
     x = jax.nn.relu(x).astype(dtype)
 
@@ -271,7 +272,8 @@ def gcn_forward_fused(params: dict, config: GCNConfig, tokens: jnp.ndarray,
              < lengths[:, None]).astype(jnp.float32)
     onehot = onehot * valid[:, :, None]
 
-    lm_out = lstm_stack_forward(params["lm"], onehot, lengths)
+    lm_out = lstm_stack_forward(params["lm"], onehot, lengths,
+                                compute_dtype=dtype)
     x = _dense(params["lm_embed"], lm_out) + _dense(params["aa_embed"], onehot)
     x = jax.nn.relu(x).astype(dtype)
 

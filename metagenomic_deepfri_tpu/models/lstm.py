@@ -35,23 +35,32 @@ def init_lstm(key, in_dim: int, hidden: int, dtype=jnp.float32) -> dict:
 
 
 def lstm_forward(params: dict, x: jnp.ndarray,
-                 reverse: bool = False) -> jnp.ndarray:
+                 reverse: bool = False,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
     """Run an LSTM over the length axis of ``x`` (B, L, D) → (B, L, H).
 
     ``reverse=True`` scans right-to-left (for bidirectional stacks). Padded
     positions are processed like any other step; forward-direction states at
     valid positions are unaffected by right-padding, and reverse-direction
     use requires length-aware flipping by the caller.
+
+    ``compute_dtype=bfloat16`` runs the recurrent matmul and hidden state in
+    bf16 (the cell state and gate nonlinearities stay f32 for stability) —
+    the scan is the dominant per-batch compute and is matmul-bound, so this
+    tracks the rest of the model's compute-dtype choice.
     """
     hidden = params["recurrent"].shape[0]
     B = x.shape[0]
+    cdt = jnp.dtype(compute_dtype)
     # Pre-compute the input contribution for all steps in one big matmul.
-    xw = jnp.einsum("bld,dg->blg", x, params["kernel"],
+    xw = jnp.einsum("bld,dg->blg", x.astype(cdt),
+                    params["kernel"].astype(cdt),
                     preferred_element_type=jnp.float32) + params["bias"]
+    recurrent = params["recurrent"].astype(cdt)
 
     def step(carry, xw_t):
         h, c = carry
-        gates = xw_t + h @ params["recurrent"]
+        gates = (xw_t + (h @ recurrent).astype(jnp.float32))
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -59,10 +68,10 @@ def lstm_forward(params: dict, x: jnp.ndarray,
         o = jax.nn.sigmoid(o)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        return (h, c), h
+        return (h.astype(cdt), c), h
 
-    h0 = jnp.zeros((B, hidden), x.dtype)
-    c0 = jnp.zeros((B, hidden), x.dtype)
+    h0 = jnp.zeros((B, hidden), cdt)
+    c0 = jnp.zeros((B, hidden), jnp.float32)
     xw_t = jnp.swapaxes(xw, 0, 1)  # (L, B, 4H)
     (_, _), hs = jax.lax.scan(step, (h0, c0), xw_t, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1)  # (B, L, H)
@@ -100,21 +109,25 @@ def reverse_sequences(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 
 def lstm_bidirectional_forward(params: dict, x: jnp.ndarray,
-                               lengths: jnp.ndarray) -> jnp.ndarray:
+                               lengths: jnp.ndarray,
+                               compute_dtype=jnp.float32) -> jnp.ndarray:
     """Bidirectional layer {'fwd': ..., 'bwd': ...} → (B, L, 2H) concat.
 
     The backward pass runs a forward scan over the length-aware reversed
     input, and its outputs are reversed back — matching ONNX bidirectional
     LSTM output ordering [forward ‖ backward] per position.
     """
-    fwd = lstm_forward(params["fwd"], x)
+    fwd = lstm_forward(params["fwd"], x, compute_dtype=compute_dtype)
     x_rev = reverse_sequences(x, lengths)
-    bwd = reverse_sequences(lstm_forward(params["bwd"], x_rev), lengths)
+    bwd = reverse_sequences(
+        lstm_forward(params["bwd"], x_rev, compute_dtype=compute_dtype),
+        lengths)
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 def lstm_stack_forward(params: list, x: jnp.ndarray,
-                       lengths: jnp.ndarray | None = None) -> jnp.ndarray:
+                       lengths: jnp.ndarray | None = None,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
     """Run a stack of LSTM layers; entries are unidirectional param dicts or
     {'fwd','bwd'} bidirectional pairs (which require ``lengths``)."""
     for layer in params:
@@ -122,7 +135,8 @@ def lstm_stack_forward(params: list, x: jnp.ndarray,
             if lengths is None:
                 raise ValueError(
                     "bidirectional LSTM layers require sequence lengths")
-            x = lstm_bidirectional_forward(layer, x, lengths)
+            x = lstm_bidirectional_forward(layer, x, lengths,
+                                           compute_dtype=compute_dtype)
         else:
-            x = lstm_forward(layer, x)
+            x = lstm_forward(layer, x, compute_dtype=compute_dtype)
     return x
