@@ -94,10 +94,11 @@ def search_options(function):
                   type=click.FloatRange(1, 7.5), show_default=True,
                   help="Sensitivity of the MMseqs2 search.")
     @click.option("-d", "--db-path", required=False,
-                  type=click.Path(exists=True, dir_okay=False, file_okay=True,
+                  type=click.Path(exists=True, dir_okay=True, file_okay=True,
                                   path_type=Path),
                   multiple=True,
-                  help="Path to a structures database (FoldComp or FASTA).")
+                  help="Path to a structures database (FoldComp, FASTA, or "
+                       "a directory of .pdb/.cif[.gz] files).")
     @click.option("-o", "--output", required=True,
                   type=click.Path(exists=False, path_type=Path),
                   help="Path to output file or directory.")

@@ -232,3 +232,66 @@ def extract_residues_coordinates(
     """Parse + extract in one call (reference ``bio_utils.py:282-302``)."""
     structure = load_structure(structure_string, filetype=filetype)
     return get_residues_coordinates(structure, chain=chain)
+
+
+# ---------------------------------------------------------------------------
+# Structure files on disk (the structure-directory database type).
+# ---------------------------------------------------------------------------
+
+# filename suffix → parser filetype; longest match wins.
+STRUCTURE_SUFFIXES = (
+    (".pdb.gz", "pdb"), (".pdb", "pdb"),
+    (".mmcif.gz", "mmcif"), (".mmcif", "mmcif"),
+    (".cif.gz", "mmcif"), (".cif", "mmcif"),
+)
+
+
+def structure_id_and_type(filename: str):
+    """(structure_id, filetype) for a structure filename, (None, None) if
+    the suffix is not a recognised structure format."""
+    for suffix, ftype in STRUCTURE_SUFFIXES:
+        if filename.endswith(suffix):
+            return filename[: -len(suffix)], ftype
+    return None, None
+
+
+def read_structure_file(path) -> Tuple[str, str]:
+    """(text, filetype) for a .pdb/.cif file, transparently gunzipping."""
+    import gzip
+    from pathlib import Path
+
+    path = Path(path)
+    _, ftype = structure_id_and_type(path.name)
+    if ftype is None:
+        raise ValueError(f"Not a recognised structure file: {path}")
+    if path.name.endswith(".gz"):
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            return f.read(), ftype
+    with open(path, "r", encoding="utf-8") as f:
+        return f.read(), ftype
+
+
+ONE_TO_THREE = {one: three for three, one in THREE_TO_ONE.items()}
+
+
+def write_ca_pdb(path, sequence: str, coords: np.ndarray,
+                 chain: str = "A") -> None:
+    """Write a minimal CA-trace PDB (one atom per residue).
+
+    Round-trips exactly through :func:`_parse_pdb` /
+    :func:`get_residues_coordinates`; used to materialise structure
+    directories and by tests needing real on-disk structures.
+    """
+    coords = np.asarray(coords, dtype=np.float32)
+    if coords.shape != (len(sequence), 3):
+        raise ValueError(
+            f"coords shape {coords.shape} != ({len(sequence)}, 3)")
+    lines = []
+    for i, (aa, (x, y, z)) in enumerate(zip(sequence, coords)):
+        res3 = ONE_TO_THREE.get(aa, "UNK")
+        lines.append(
+            f"ATOM  {i + 1:>5d}  CA  {res3:>3s} {chain:1s}{i + 1:>4d}"
+            f"    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C")
+    lines.append("END")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")

@@ -90,6 +90,16 @@ def build_database(input_path, output_path, overwrite: bool = False,
     input_path = Path(input_path)
     output_path = Path(output_path)
     output_path.mkdir(parents=True, exist_ok=True)
+
+    if input_path.is_dir():
+        # Structure-directory database: a folder of .pdb/.cif[.gz] files
+        # (e.g. an AlphaFold dump). Sequences are extracted from the CA
+        # records; coordinates are served from the files at predict time
+        # (search/pdb.py::extract_calpha_coords). Not supported by the
+        # reference (FoldComp/PDB100 only).
+        return _build_structure_dir_database(input_path, output_path,
+                                             overwrite, threads)
+
     output_sequences = output_path / Path(input_path.stem + ".fasta.gz")
     unzipped = output_sequences.with_suffix("")
     needs_new_index = False
@@ -129,6 +139,56 @@ def build_database(input_path, output_path, overwrite: bool = False,
         # built-in engine searches the FASTA directly
         mmseqs_db_path = output_sequences
 
+    return Database(foldcomp_db=input_path,
+                    sequence_db=output_sequences,
+                    mmseqs_db=mmseqs_db_path)
+
+
+def _build_structure_dir_database(input_path: Path, output_path: Path,
+                                  overwrite: bool, threads: int) -> Database:
+    """Sequence DB from a directory of structure files (CA-record parse)."""
+    import warnings
+
+    from metagenomic_deepfri_tpu.data.structures import (
+        get_residues_coordinates, load_structure, read_structure_file,
+        structure_id_and_type)
+    from metagenomic_deepfri_tpu.search import mmseqs as mm
+
+    output_sequences = output_path / (input_path.name + ".fasta.gz")
+    needs_new_index = False
+    if output_sequences.exists() and not overwrite:
+        logger.info("Found %s — skipping sequence extraction.",
+                    output_sequences)
+    else:
+        n = 0
+        with gzip.open(output_sequences, "wt", encoding="utf-8") as out:
+            for f in sorted(input_path.iterdir()):
+                sid, _ = structure_id_and_type(f.name)
+                if sid is None:
+                    continue
+                try:
+                    text, ftype = read_structure_file(f)
+                    table = load_structure(text, filetype=ftype)
+                    chains = table.chains()
+                    if not chains:
+                        raise ValueError("no chains")
+                    seq, _ = get_residues_coordinates(table, chain=chains[0])
+                except (KeyError, ValueError) as e:
+                    warnings.warn(f"Skipping structure {f.name}: {e}")
+                    continue
+                if seq:
+                    out.write(f">{sid}\n{seq}\n")
+                    n += 1
+        logger.info("Extracted %d sequences from %s", n, input_path)
+        needs_new_index = True
+
+    mmseqs_db_path = output_path / (input_path.name + ".mmseqsDB")
+    if mm.mmseqs_available():
+        if overwrite or needs_new_index or not mmseqs_db_path.exists():
+            mm._createdb(output_sequences, mmseqs_db_path)
+            mm._createindex(mmseqs_db_path, threads)
+    else:
+        mmseqs_db_path = output_sequences
     return Database(foldcomp_db=input_path,
                     sequence_db=output_sequences,
                     mmseqs_db=mmseqs_db_path)

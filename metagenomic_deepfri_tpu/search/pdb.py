@@ -159,6 +159,10 @@ def extract_calpha_coords(db: Database,
             results = list(pool.map(fetch, zip(target_ids, query_ids)))
         return [coord for _, coord in results]
 
+    if Path(db.foldcomp_db).is_dir():
+        return _extract_coords_from_dir(Path(db.foldcomp_db), target_ids,
+                                        save_directory=save_directory)
+
     suffix = foldcomp_sniff_suffix(target_ids[0], db.foldcomp_db)
     if suffix:
         target_ids = [f"{t}{suffix}" for t in target_ids]
@@ -175,4 +179,48 @@ def extract_calpha_coords(db: Database,
             with open(Path(save_directory) / f"{idx}.pdb", "w",
                       encoding="utf-8") as f:
                 f.write(struct)
+    return coords
+
+
+def _extract_coords_from_dir(structures_dir: Path,
+                             target_ids: List[str],
+                             save_directory: Optional[Path] = None
+                             ) -> List[Optional[np.ndarray]]:
+    """CA coords from a structure-directory database (one file per target).
+
+    Companion to ``search.database._build_structure_dir_database``; the
+    chain used is the file's first chain, matching the sequence the DB
+    build extracted.
+    """
+    from metagenomic_deepfri_tpu.data.structures import (
+        STRUCTURE_SUFFIXES, get_residues_coordinates, load_structure,
+        read_structure_file)
+
+    coords: List[Optional[np.ndarray]] = []
+    for tid in target_ids:
+        path = None
+        for suffix, _ in STRUCTURE_SUFFIXES:
+            cand = structures_dir / f"{tid}{suffix}"
+            if cand.exists():
+                path = cand
+                break
+        if path is None:
+            warnings.warn(f"No structure file for target {tid} in "
+                          f"{structures_dir}")
+            coords.append(None)
+            continue
+        text = None
+        try:
+            text, ftype = read_structure_file(path)
+            table = load_structure(text, filetype=ftype)
+            _, coord = get_residues_coordinates(table,
+                                                chain=table.chains()[0])
+        except (KeyError, ValueError, IndexError) as e:
+            warnings.warn(f"Error parsing structure {path.name}: {e}")
+            coord = None
+        coords.append(coord)
+        if save_directory and text is not None:
+            with open(Path(save_directory) / f"{tid}.pdb", "w",
+                      encoding="utf-8") as f:
+                f.write(text)
     return coords

@@ -244,3 +244,72 @@ def test_crash_resume_from_checkpoint(weights_dir, data_dir, tmp_path,
         rows = f.read().strip().splitlines()
     assert rows[0].split("\t") == FINAL_OUTPUT_HEADER
     assert len(rows) > 1
+
+
+def test_structure_dir_database_end_to_end(weights_dir, tmp_path):
+    """Full pipeline over a directory of real on-disk PDB files — NO mocks:
+    search → NW alignment → coords from files → GCN batched inference."""
+    from metagenomic_deepfri_tpu.data.structures import write_ca_pdb
+
+    rng = np.random.default_rng(11)
+    aas = list("ACDEFGHIKLMNPQRSTVWY")
+
+    def rand_seq(n):
+        return "".join(rng.choice(aas, size=n))
+
+    def walk(n):
+        steps = rng.normal(size=(n, 3)).astype(np.float32)
+        steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+        return np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+
+    structures = tmp_path / "structures"
+    structures.mkdir()
+    seqs = {}
+    for i in range(6):
+        sid = f"af_{i}"
+        seqs[sid] = rand_seq(70 + 10 * i)
+        write_ca_pdb(structures / f"{sid}.pdb", seqs[sid], walk(len(seqs[sid])))
+
+    # queries: two near-copies of structures (hits), one random (no hit)
+    def mutate(seq, n):
+        out = list(seq)
+        for pos in rng.choice(len(seq), size=n, replace=False):
+            out[pos] = rng.choice(aas)
+        return "".join(out)
+
+    queries = {"q_hit_a": mutate(seqs["af_0"], 3),
+               "q_hit_b": mutate(seqs["af_3"], 4),
+               "q_nohit": rand_seq(50)}
+    write_fasta(tmp_path / "queries.faa", queries)
+
+    out = tmp_path / "results"
+    qf = load_query_file(tmp_path / "queries.faa")
+    dbs = hierarchical_database_search(
+        query_file=qf,
+        output_path=out / "database_search",
+        databases=[structures],
+        skip_pdb=True,
+        max_eval=1e-3,
+        threads=2)
+    assert len(dbs) == 1
+
+    qf2 = load_query_file(tmp_path / "queries.faa")
+    predict_protein_function(
+        query_file=qf2,
+        databases=tuple(dbs),
+        weights=weights_dir,
+        output_path=out,
+        deepfri_processing_modes=["mf"],
+        threads=2)
+
+    summary = (out / "alignment_summary.tsv").read_text().strip().split("\n")
+    rows = {r.split("\t")[0]: r.split("\t") for r in summary[1:]}
+    assert rows["q_hit_a"][1] == "True"
+    assert rows["q_hit_a"][2] == "af_0"
+    assert rows["q_hit_b"][2] == "af_3"
+    assert rows["q_nohit"][1] == "False"
+
+    matrix = (out / "prediction_matrix_mf.tsv").read_text().strip().split("\n")
+    nets = {ln.split("\t")[0]: ln.split("\t")[1] for ln in matrix[1:]}
+    assert nets["q_hit_a"] == "gcn"
+    assert nets["q_nohit"] == "cnn"
