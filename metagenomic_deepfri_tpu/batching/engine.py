@@ -106,6 +106,14 @@ def _unpack_coords_mega(packed: jnp.ndarray):
     return coords, tokens, ins_mask, lengths
 
 
+def _pow2_at_least(n: int, floor: int = 8) -> int:
+    """Smallest power of two ≥ max(n, floor)."""
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
 def _flat_header_rows(batch: int) -> int:
     """Rows reserved at the head of a flat wire buffer for (batch,) int32
     lengths (4 bytes each, packed into 16-byte rows)."""
@@ -428,6 +436,14 @@ class BatchedPredictor:
         is_gcn = net in ("gcn", "gcn_coords")
         plan = bucket_plan([len(it[1]) for it in items], self.buckets)
         models = self.gcn_models if is_gcn else self.cnn_models
+        # Small one-shot workloads: collapse every bucket into the largest
+        # one needed. One compiled program per (net, mode) instead of one
+        # per (bucket, mode) — program count, not FLOPs, dominates latency
+        # for a handful of proteins (each fresh executable pays a
+        # compile/load cost; padding waste is irrelevant at this scale).
+        if len(plan) > 1 and len(items) <= 64:
+            top = max(plan)
+            plan = {top: [i for b in sorted(plan) for i in plan[b]]}
 
         ctx = (jax.default_matmul_precision(self.matmul_precision)
                if self.matmul_precision else _nullcontext())
@@ -438,6 +454,11 @@ class BatchedPredictor:
                          else cnn_batch_size(bucket)) * self._data_parallel
                 if self.batch_cap:
                     batch = min(batch, self.batch_cap)
+                # Small workloads: compile a power-of-two-sized program that
+                # fits the work instead of the full steady-state batch (a
+                # B=2048 one-off compile for a handful of proteins dominates
+                # CLI latency). Bounded shape variants: powers of two only.
+                batch = min(batch, _pow2_at_least(len(idxs)))
                 if batch % self._data_parallel:
                     batch += self._data_parallel - batch % self._data_parallel
                 if net == "gcn_coords":
@@ -636,9 +657,12 @@ class BatchedPredictor:
                       else cnn_batch_size(bucket)) * self._data_parallel)
             if self.batch_cap:
                 batch = min(batch, self.batch_cap)
+            # Final/partial flushes compile a power-of-two program sized to
+            # the chunk, not the full steady-state batch (a B=2048 compile
+            # for a handful of stragglers dominates small-run latency).
+            batch = min(max(batch, len(chunk)), _pow2_at_least(len(chunk)))
             if batch % self._data_parallel:
                 batch += self._data_parallel - batch % self._data_parallel
-            batch = max(batch, len(chunk))
             scores = {}
             if is_gcn:
                 if self.mesh is None:
@@ -681,9 +705,15 @@ class BatchedPredictor:
                 if len(buf) >= batch:
                     dispatch(bucket, buf)
                     buffers[bucket] = []
-            for bucket, buf in buffers.items():
-                if buf:
-                    dispatch(bucket, buf)
+            residual = {b: buf for b, buf in buffers.items() if buf}
+            if len(residual) > 1 and sum(map(len, residual.values())) <= 64:
+                # merge small straggler buckets into one program (see the
+                # small-workload collapse in _run)
+                top = max(residual)
+                merged = [it for b in sorted(residual) for it in residual[b]]
+                residual = {top: merged}
+            for bucket, buf in residual.items():
+                dispatch(bucket, buf)
             while inflight:
                 drain_one()
         return processed
