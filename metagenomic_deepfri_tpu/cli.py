@@ -318,6 +318,52 @@ def make_cmaps(input_dir, output_dir, threshold):
                 cmap)
 
 
+@main.command()
+@click.option("--weights", "-w", required=True,
+              type=click.Path(exists=True, path_type=Path),
+              help="Path to the folder containing model weights.")
+@click.option("-d", "--db-path", multiple=True,
+              type=click.Path(exists=True, path_type=Path),
+              help="Structure database(s): FoldComp, FASTA, or a directory "
+                   "of .pdb/.cif files. Omit for sequence-only (CNN) "
+                   "serving.")
+@click.option("--socket", "socket_path", required=True,
+              type=click.Path(path_type=Path),
+              help="Unix socket path to listen on.")
+@click.option("-p", "--processing-modes", multiple=True,
+              type=click.Choice(["bp", "cc", "mf", "ec"]),
+              help="Modes to serve (default: all in model_config.json).")
+@click.option("-t", "--threads", default=1, type=int, show_default=True)
+@click.option("--top-k", default=5, type=int, show_default=True)
+@click.option("--mmseqs-max-evalue", default=1e-5, type=float,
+              show_default=True)
+@click.option("--mmseqs-min-identity", default=0.5, type=float,
+              show_default=True)
+@click.option("--mmseqs-min-coverage", default=0.9, type=float,
+              show_default=True)
+def serve(weights, db_path, socket_path, processing_modes, threads, top_k,
+          mmseqs_max_evalue, mmseqs_min_identity, mmseqs_min_coverage):
+    """Run a resident annotation server on a Unix socket (JSONL protocol).
+
+    Models stay on device and databases stay indexed between requests —
+    the serving counterpart of the batch `predict-function` verb. Protocol:
+    one JSON object per line, {"proteins": {id: sequence, ...}} in,
+    {"results": ..., "skipped": ...} out.
+    """
+    from metagenomic_deepfri_tpu.serving import AnnotationServer
+
+    server = AnnotationServer(
+        weights,
+        databases=list(db_path),
+        processing_modes=list(processing_modes) or None,
+        max_eval=mmseqs_max_evalue,
+        min_ident=mmseqs_min_identity,
+        min_coverage=mmseqs_min_coverage,
+        top_k=top_k,
+        threads=threads)
+    server.serve_unix(socket_path)
+
+
 @main.command("verify-weights")
 @click.option("--weights", "-w", required=True,
               type=click.Path(exists=True),

@@ -1,0 +1,315 @@
+"""Resident annotation server — the production serving path.
+
+The reference is strictly batch-oriented: every run pays model loading,
+database indexing, and (on GPU) session setup before the first prediction
+(reference ``mDeepFRI/cli.py:338-497``). This server loads everything once —
+models resident on device, search databases indexed, target sequences in
+memory, coordinates LRU-cached — and then annotates request batches with the
+same hierarchical-search → alignment → contact-map → GCN/CNN semantics as the
+batch pipeline (:mod:`.pipeline`), over an in-memory path with no files
+between stages.
+
+Transport: newline-delimited JSON over a Unix domain socket (one JSON object
+per line; concurrent connections served by a thread pool; device work is
+serialised through the engine, which batches per request). Request::
+
+    {"proteins": {"q1": "MKV...", ...}}
+
+Response::
+
+    {"results": {"q1": {"aligned": true, "target": "af0", "db": "structs",
+                        "identity": 0.97, "scores": {"mf": [["GO:...",
+                        0.92, "name"], ...]}}},
+     "skipped": {"q2": "selenocysteine"}}
+
+Scores are filtered at ≥ 0.1 and sorted descending, matching the pipeline's
+``results.tsv`` contract (reference ``pipeline.py:701,735``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import socket
+import socketserver
+import threading
+from collections import OrderedDict
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from metagenomic_deepfri_tpu.align.pairwise import pairwise_against_database
+from metagenomic_deepfri_tpu.batching.engine import BatchedPredictor
+from metagenomic_deepfri_tpu.bio_utils import build_align_projection
+from metagenomic_deepfri_tpu.data.fasta import load_fasta_as_dict
+from metagenomic_deepfri_tpu.models.registry import load_models
+from metagenomic_deepfri_tpu.search.database import Database, build_database
+from metagenomic_deepfri_tpu.search.engine import builtin_search
+from metagenomic_deepfri_tpu.search.pdb import extract_calpha_coords
+
+logger = logging.getLogger(__name__)
+
+SCORE_THRESHOLD = 0.1  # reference pipeline.py:701,735
+
+
+class _CoordCache:
+    """Tiny LRU for per-target CA coordinates (repeat hits are common when
+    serving a catalogue against a fixed database)."""
+
+    def __init__(self, capacity: int = 4096):
+        self.capacity = capacity
+        self._data: "OrderedDict[tuple, Optional[np.ndarray]]" = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get_many(self, db: Database, pairs: List[Tuple[str, str]]
+                 ) -> Dict[str, Optional[np.ndarray]]:
+        """{target_id: coords} for (target_id, query_id) pairs."""
+        out: Dict[str, Optional[np.ndarray]] = {}
+        missing: List[Tuple[str, str]] = []
+        with self._lock:
+            for tid, qid in pairs:
+                key = (db.name, tid)
+                if key in self._data:
+                    self._data.move_to_end(key)
+                    out[tid] = self._data[key]
+                else:
+                    missing.append((tid, qid))
+        if missing:
+            coords = extract_calpha_coords(
+                db, [t for t, _ in missing], [q for _, q in missing])
+            with self._lock:
+                for (tid, _), coord in zip(missing, coords):
+                    out[tid] = coord
+                    self._data[(db.name, tid)] = coord
+                    while len(self._data) > self.capacity:
+                        self._data.popitem(last=False)
+        return out
+
+
+class AnnotationServer:
+    """Models + databases resident; annotates protein dicts in memory.
+
+    Args:
+        weights: model-weights directory (``model_config.json`` layout).
+        databases: structure databases (FoldComp file, FASTA, or a directory
+            of .pdb/.cif files), searched in order with the pipeline's
+            hierarchical semantics (first DB hit wins a query).
+        processing_modes: subset of bp/cc/mf/ec (default: all in config).
+        db_workdir: where DB indices are built/cached (default: next to each
+            database, like the pipeline).
+    """
+
+    def __init__(self,
+                 weights,
+                 databases: Iterable = (),
+                 processing_modes: Optional[List[str]] = None,
+                 db_workdir=None,
+                 max_eval: float = 1e-5,
+                 min_ident: float = 0.5,
+                 min_coverage: float = 0.9,
+                 top_k: int = 5,
+                 contact_threshold: float = 6.0,
+                 generated_contacts: int = 2,
+                 gap_open: int = 10,
+                 gap_extend: int = 1,
+                 scoring_matrix: str = "VTML80",
+                 coord_cache: int = 4096,
+                 threads: int = 1,
+                 mesh=None):
+        from metagenomic_deepfri_tpu.pipeline import \
+            _initialize_processing_modes
+        from metagenomic_deepfri_tpu.utils import load_deepfri_config
+
+        config = load_deepfri_config(weights)
+        modes = processing_modes or [m for m in ("bp", "cc", "mf", "ec")
+                                     if config.get("gcn", {}).get(m)]
+        self.modes = _initialize_processing_modes(list(modes), config)
+        gcn, cnn, _ = load_models(weights, self.modes)
+        self.engine = BatchedPredictor(
+            gcn_models=gcn, cnn_models=cnn,
+            contact_threshold=contact_threshold,
+            generated_contacts=generated_contacts,
+            mesh=mesh)
+        self.max_eval = max_eval
+        self.min_ident = min_ident
+        self.min_coverage = min_coverage
+        self.top_k = top_k
+        self.gap_open = gap_open
+        self.gap_extend = gap_extend
+        self.scoring_matrix = scoring_matrix
+        self.threads = threads
+        self._coords = _CoordCache(coord_cache)
+
+        self.databases: List[Database] = []
+        self._targets: Dict[str, Dict[str, str]] = {}
+        for db_path in databases:
+            db_path = Path(db_path)
+            workdir = Path(db_workdir) if db_workdir else db_path.parent
+            db = build_database(db_path, workdir, threads=threads)
+            self.databases.append(db)
+            self._targets[db.name] = {
+                k.split("|")[1] if "|" in k else k: v.upper()
+                for k, v in load_fasta_as_dict(db.sequence_db).items()}
+            logger.info("Serving database %s: %d targets.",
+                        db.name, len(self._targets[db.name]))
+        logger.info("Annotation server ready: modes=%s, databases=%d.",
+                    self.modes, len(self.databases))
+
+    # -- core ---------------------------------------------------------------
+
+    def annotate(self, proteins: Dict[str, str]) -> dict:
+        """Annotate {query_id: sequence}; returns the response dict."""
+        skipped: Dict[str, str] = {}
+        queries: Dict[str, str] = {}
+        for qid, seq in proteins.items():
+            seq = str(seq).upper()
+            if "U" in seq:
+                # reference drops selenocysteine sequences
+                # (mmseqs.py:645); report instead of silently vanishing
+                skipped[qid] = "selenocysteine"
+            elif not seq:
+                skipped[qid] = "empty"
+            else:
+                queries[qid] = seq
+
+        gcn_items = []           # (qid, seq, proj_coords, ins_mask)
+        meta: Dict[str, dict] = {}
+        remaining = dict(queries)
+        for db in self.databases:
+            if not remaining:
+                break
+            targets = self._targets[db.name]
+            results = builtin_search(
+                remaining, targets, max_eval=self.max_eval,
+                threads=self.threads)
+            filtered = results.apply_filters(min_cov=self.min_coverage,
+                                             min_ident=self.min_ident)
+            best = filtered.find_best_matches(self.top_k,
+                                              threads=self.threads)
+            if len(best) == 0:
+                continue
+            hits = {q: best.get_query_targets(q)
+                    for q in best.get_queries()}
+            # alignment + coordinate projection for this DB's hits
+            coord_map = self._coords.get_many(
+                db, [(t, q) for q, ts in hits.items() for t in ts[:1]])
+            for qid, tids in hits.items():
+                partial = {t: targets[t] for t in tids}
+                aln = pairwise_against_database(
+                    qid, remaining[qid], partial,
+                    gap_open=self.gap_open, gap_extend=self.gap_extend,
+                    scoring_matrix=self.scoring_matrix)
+                tid = aln.target_name
+                if tid in coord_map:
+                    aln.coords = coord_map[tid]
+                else:
+                    aln.coords = self._coords.get_many(db, [(tid, qid)])[tid]
+                aln, proj = build_align_projection(aln)
+                if proj is None:
+                    continue  # rescue via next DB or CNN fallback
+                gcn_items.append((qid, aln.query_sequence, proj[0], proj[1]))
+                meta[qid] = {
+                    "aligned": True, "target": tid, "db": db.name,
+                    "identity": round(float(aln.query_identity), 4),
+                    "query_coverage": round(float(aln.query_coverage), 4),
+                    "target_coverage": round(float(aln.target_coverage), 4),
+                }
+                remaining.pop(qid, None)
+
+        cnn_items = [(qid, seq) for qid, seq in remaining.items()]
+
+        gcn_scores = (self.engine.predict_gcn_from_coords(
+            gcn_items, modes=self.modes) if gcn_items else {})
+        cnn_scores = (self.engine.predict_cnn(
+            cnn_items, modes=self.modes) if cnn_items else {})
+
+        results: Dict[str, dict] = {}
+        for qid in queries:
+            aligned = qid in meta
+            entry = dict(meta.get(qid, {"aligned": False}))
+            entry["network"] = "gcn" if aligned else "cnn"
+            scores_by_mode = {}
+            source = gcn_scores if aligned else cnn_scores
+            handles = (self.engine.gcn_models if aligned
+                       else self.engine.cnn_models)
+            for mode in self.modes:
+                handle = handles.get(mode)
+                if handle is None or qid not in source.get(mode, {}):
+                    continue
+                vec = np.asarray(source[mode][qid])
+                goterms = handle.goterms or [str(i) for i in range(len(vec))]
+                gonames = handle.gonames or [""] * len(vec)
+                keep = [(goterms[i], float(vec[i]), gonames[i])
+                        for i in np.argsort(vec)[::-1]
+                        if vec[i] >= SCORE_THRESHOLD]
+                scores_by_mode[mode] = [(t, round(s, 4), n)
+                                        for t, s, n in keep]
+            entry["scores"] = scores_by_mode
+            results[qid] = entry
+        return {"results": results, "skipped": skipped}
+
+    # -- transport ----------------------------------------------------------
+
+    def serve_unix(self, socket_path, ready_event=None) -> None:
+        """Blocking accept loop on a Unix socket (JSONL protocol)."""
+        server = _UnixJsonlServer(str(socket_path), self)
+        self._server = server
+        if ready_event is not None:
+            ready_event.set()
+        logger.info("Listening on %s", socket_path)
+        try:
+            server.serve_forever()
+        finally:
+            server.server_close()
+
+    def shutdown(self) -> None:
+        server = getattr(self, "_server", None)
+        if server is not None:
+            server.shutdown()
+
+
+class _UnixJsonlServer(socketserver.ThreadingMixIn,
+                       socketserver.UnixStreamServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def __init__(self, path, annotator: AnnotationServer):
+        self.annotator = annotator
+        Path(path).unlink(missing_ok=True)
+        super().__init__(path, _JsonlHandler)
+
+
+class _JsonlHandler(socketserver.StreamRequestHandler):
+    def handle(self):
+        for line in self.rfile:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                request = json.loads(line)
+                response = self.server.annotator.annotate(
+                    request.get("proteins", {}))
+            except Exception as e:  # noqa: BLE001 — protocol boundary
+                logger.exception("Request failed")
+                response = {"error": f"{type(e).__name__}: {e}"}
+            payload = (json.dumps(response) + "\n").encode("utf-8")
+            self.wfile.write(payload)
+            self.wfile.flush()
+
+
+def annotate_over_socket(socket_path, proteins: Dict[str, str],
+                         timeout: float = 600.0) -> dict:
+    """Client helper: one request/response over the Unix socket."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as sock:
+        sock.settimeout(timeout)
+        sock.connect(str(socket_path))
+        sock.sendall((json.dumps({"proteins": proteins}) + "\n")
+                     .encode("utf-8"))
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = sock.recv(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode("utf-8"))

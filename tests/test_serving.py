@@ -1,0 +1,165 @@
+"""Annotation-server tests: in-memory annotate() and the socket transport."""
+
+import json
+import threading
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from metagenomic_deepfri_tpu.data.fasta import write_fasta
+from metagenomic_deepfri_tpu.data.structures import write_ca_pdb
+from metagenomic_deepfri_tpu.models.deepfri import (CNNConfig, GCNConfig,
+                                                    init_cnn, init_gcn)
+from metagenomic_deepfri_tpu.models.onnx_import import (export_cnn_to_onnx,
+                                                        export_gcn_to_onnx)
+from metagenomic_deepfri_tpu.utils import generate_config_json
+
+N_LABELS = 6
+GOTERMS = [f"GO:000000{i}" for i in range(N_LABELS)]
+GCN_CFG = GCNConfig(n_labels=N_LABELS, lm_hidden=8, lm_layers=1,
+                    embed_dim=16, gc_dims=(8,), fc_dims=(16,),
+                    adj_norm="none")
+CNN_CFG = CNNConfig(n_labels=N_LABELS, conv_filters=8, conv_kernels=(3,),
+                    fc_dims=(16,))
+
+RNG = np.random.default_rng(3)
+AAS = list("ACDEFGHIKLMNPQRSTVWY")
+
+
+def _rand_seq(n):
+    return "".join(RNG.choice(AAS, size=n))
+
+
+def _walk(n):
+    steps = RNG.normal(size=(n, 3)).astype(np.float32)
+    steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+    return np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+
+
+def _mutate(seq, n):
+    out = list(seq)
+    for pos in RNG.choice(len(seq), size=n, replace=False):
+        out[pos] = RNG.choice(AAS)
+    return "".join(out)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from metagenomic_deepfri_tpu.serving import AnnotationServer
+
+    root = tmp_path_factory.mktemp("serving")
+    weights = root / "weights"
+    weights.mkdir()
+    key = jax.random.PRNGKey(0)
+    for mode in ("mf", "bp", "cc", "ec"):
+        k1, k2, key = jax.random.split(key, 3)
+        gname = f"DeepFRI-MERGED_GraphConv_gcd_8_fcd_16_ca_10.0_{mode}.onnx"
+        cname = f"DeepCNN-MERGED_{mode}.onnx"
+        export_gcn_to_onnx(init_gcn(k1, GCN_CFG), GCN_CFG,
+                           str(weights / gname))
+        export_cnn_to_onnx(init_cnn(k2, CNN_CFG), CNN_CFG,
+                           str(weights / cname))
+        for name in (gname, cname):
+            with open(weights / (name[:-5] + "_model_params.json"), "w") as f:
+                json.dump({"goterms": GOTERMS,
+                           "gonames": [f"t{i}" for i in range(N_LABELS)]}, f)
+    generate_config_json(weights, "1.0")
+
+    structures = root / "structures"
+    structures.mkdir()
+    seqs = {}
+    for i in range(4):
+        sid = f"af_{i}"
+        seqs[sid] = _rand_seq(60 + 10 * i)
+        write_ca_pdb(structures / f"{sid}.pdb", seqs[sid],
+                     _walk(len(seqs[sid])))
+
+    srv = AnnotationServer(weights, databases=[structures],
+                           processing_modes=["mf", "bp"], threads=2)
+    return srv, seqs
+
+
+class TestAnnotate:
+    def test_hit_and_fallback(self, server):
+        srv, seqs = server
+        out = srv.annotate({
+            "q_hit": _mutate(seqs["af_1"], 3),
+            "q_nohit": _rand_seq(45),
+            "q_sec": "MKVU" + _rand_seq(30),
+        })
+        res = out["results"]
+        assert out["skipped"] == {"q_sec": "selenocysteine"}
+        assert res["q_hit"]["aligned"] is True
+        assert res["q_hit"]["target"] == "af_1"
+        assert res["q_hit"]["network"] == "gcn"
+        assert res["q_hit"]["identity"] > 0.9
+        assert res["q_nohit"]["aligned"] is False
+        assert res["q_nohit"]["network"] == "cnn"
+        for entry in res.values():
+            for mode, rows in entry["scores"].items():
+                assert mode in ("mf", "bp")
+                for term, score, _name in rows:
+                    assert term in GOTERMS
+                    assert 0.1 <= score <= 1.0
+                scores = [s for _, s, _ in rows]
+                assert scores == sorted(scores, reverse=True)
+
+    def test_coord_cache_reuse(self, server):
+        srv, seqs = server
+        before = len(srv._coords._data)
+        srv.annotate({"q": _mutate(seqs["af_2"], 2)})
+        mid = len(srv._coords._data)
+        srv.annotate({"q2": _mutate(seqs["af_2"], 3)})
+        after = len(srv._coords._data)
+        assert mid >= before
+        assert after == mid  # second request reuses the cached coords
+
+    def test_matches_batch_pipeline_scores(self, server):
+        """Server scores equal the engine's batch-API scores for a hit."""
+        srv, seqs = server
+        q = _mutate(seqs["af_0"], 2)
+        out = srv.annotate({"qx": q})["results"]["qx"]
+        assert out["aligned"]
+        # recompute through the standalone components
+        from metagenomic_deepfri_tpu.align.pairwise import \
+            pairwise_against_database
+        from metagenomic_deepfri_tpu.bio_utils import build_align_projection
+
+        targets = srv._targets[srv.databases[0].name]
+        aln = pairwise_against_database("qx", q, {out["target"]:
+                                                  targets[out["target"]]})
+        aln.coords = srv._coords.get_many(srv.databases[0],
+                                          [(out["target"], "qx")])[
+                                              out["target"]]
+        aln, proj = build_align_projection(aln)
+        scores = srv.engine.predict_gcn_from_coords(
+            [("qx", aln.query_sequence, proj[0], proj[1])], modes=["mf"])
+        vec = scores["mf"]["qx"]
+        served = dict((t, s) for t, s, _ in out["scores"]["mf"])
+        for i, term in enumerate(GOTERMS):
+            if float(vec[i]) >= 0.1:
+                assert abs(served[term] - float(vec[i])) < 1e-3
+
+
+class TestSocket:
+    def test_unix_socket_roundtrip(self, server, tmp_path):
+        from metagenomic_deepfri_tpu.serving import annotate_over_socket
+
+        srv, seqs = server
+        sock = tmp_path / "ann.sock"
+        ready = threading.Event()
+        t = threading.Thread(target=srv.serve_unix, args=(sock, ready),
+                             daemon=True)
+        t.start()
+        assert ready.wait(10)
+        try:
+            out = annotate_over_socket(
+                sock, {"q": _mutate(seqs["af_3"], 3)}, timeout=120)
+            assert out["results"]["q"]["aligned"] is True
+            assert out["results"]["q"]["target"] == "af_3"
+        finally:
+            srv.shutdown()
+            t.join(timeout=10)
