@@ -364,6 +364,48 @@ def serve(weights, db_path, socket_path, processing_modes, threads, top_k,
     server.serve_unix(socket_path)
 
 
+@main.command()
+@click.option("--weights", "-w", required=True,
+              type=click.Path(exists=True, path_type=Path),
+              help="Base model weights folder (model_config.json layout).")
+@click.option("-m", "--mode", required=True,
+              type=click.Choice(["bp", "cc", "mf", "ec"]),
+              help="Ontology mode whose GCN to fine-tune.")
+@click.option("-i", "--structures", required=True,
+              type=click.Path(exists=True, file_okay=False, path_type=Path),
+              help="Directory of labelled .pdb/.cif structure files.")
+@click.option("-l", "--labels", required=True,
+              type=click.Path(exists=True, dir_okay=False, path_type=Path),
+              help="TSV: protein<TAB>GO:...;GO:... per line.")
+@click.option("-o", "--output", required=True,
+              type=click.Path(path_type=Path),
+              help="Output directory for the fine-tuned checkpoint/ONNX.")
+@click.option("--epochs", default=5, type=int, show_default=True)
+@click.option("--learning-rate", default=1e-4, type=float, show_default=True)
+@click.option("--batch-size", default=8, type=int, show_default=True)
+@click.option("--model-parallel", default=1, type=int, show_default=True,
+              help="Tensor-parallel size of the device mesh (rest is DP).")
+@click.option("--angstrom-contact-thresh", default=6.0, type=float,
+              show_default=True)
+@click.option("--seed", default=0, type=int, show_default=True)
+def finetune(weights, mode, structures, labels, output, epochs,
+             learning_rate, batch_size, model_parallel,
+             angstrom_contact_thresh, seed):
+    """Fine-tune a GCN on labelled structures (mesh-sharded train step).
+
+    Writes a native .npz checkpoint plus an ONNX re-export + params JSON,
+    so the result plugs back into the inference registry.
+    """
+    from metagenomic_deepfri_tpu.training import finetune as run_finetune
+
+    path = run_finetune(weights, mode, structures, labels, output,
+                        epochs=epochs, learning_rate=learning_rate,
+                        batch_size=batch_size,
+                        contact_threshold=angstrom_contact_thresh,
+                        model_parallel=model_parallel, seed=seed)
+    click.echo(f"Fine-tuned checkpoint written to {path}")
+
+
 @main.command("verify-weights")
 @click.option("--weights", "-w", required=True,
               type=click.Path(exists=True),
