@@ -373,3 +373,43 @@ class TestGoPropagation:
         assert terms["1.1.1.1"][-1] == "False"
         # root excluded
         assert "GO:0008150" not in terms
+
+
+class TestDeviceNW:
+    """Batched wavefront NW on device: bit-exact vs the host scorer."""
+
+    def test_scores_match_python_exactly(self):
+        from metagenomic_deepfri_tpu.ops.nw import (nw_score_many,
+                                                    nw_score_many_device)
+
+        rng = np.random.default_rng(7)
+        aas = list("ACDEFGHIKLMNPQRSTVWY")
+        sm = ScoringMatrix.from_name("BLOSUM62")
+        for _ in range(3):
+            q = "".join(rng.choice(aas, size=int(rng.integers(4, 50))))
+            targets = ["".join(rng.choice(aas,
+                                          size=int(rng.integers(2, 60))))
+                       for _ in range(9)]
+            ref = nw_score_many(q, targets, sm, 10, 1, force_python=True)
+            dev = nw_score_many_device(q, targets, sm, 10, 1)
+            assert np.array_equal(ref, dev)
+
+    def test_gap_params_and_vtml(self):
+        from metagenomic_deepfri_tpu.ops.nw import (nw_score_many,
+                                                    nw_score_many_device)
+
+        rng = np.random.default_rng(8)
+        aas = list("ACDEFGHIKLMNPQRSTVWY")
+        sm = ScoringMatrix.from_name("VTML80")
+        q = "".join(rng.choice(aas, size=25))
+        targets = ["".join(rng.choice(aas, size=n)) for n in (5, 25, 40)]
+        for go, ge in ((10, 1), (11, 2), (5, 4)):
+            ref = nw_score_many(q, targets, sm, go, ge, force_python=True)
+            dev = nw_score_many_device(q, targets, sm, go, ge)
+            assert np.array_equal(ref, dev)
+
+    def test_empty_targets(self):
+        from metagenomic_deepfri_tpu.ops.nw import nw_score_many_device
+
+        sm = ScoringMatrix.from_name("BLOSUM62")
+        assert nw_score_many_device("ACDE", [], sm).shape == (0,)
