@@ -63,6 +63,10 @@ def search_options(function):
     """Shared search flags (reference cli.py:96-221; defaults from
     https://doi.org/10.1038/s41586-023-06510-w)."""
 
+    @click.option("--shard", default=None, type=str,
+                  help="'I/N': process only this host's deterministic slice "
+                       "of the input catalogue (multi-host runs; merge the "
+                       "per-host outputs with `merge-results`).")
     @click.option("--tmpdir", default=None,
                   type=click.Path(exists=False, file_okay=False,
                                   dir_okay=True, path_type=Path),
@@ -166,7 +170,7 @@ def generate_config(weights_path, version):
 @main.command()
 @search_options
 @click.pass_context
-def search_databases(ctx, input, output, db_path, mmseqs_sensitivity,
+def search_databases(ctx, input, output, db_path, shard, mmseqs_sensitivity,
                      min_length, max_length, mmseqs_min_bitscore,
                      mmseqs_max_evalue, mmseqs_min_identity,
                      mmseqs_min_coverage, top_k, overwrite, threads, skip_pdb,
@@ -177,7 +181,7 @@ def search_databases(ctx, input, output, db_path, mmseqs_sensitivity,
 
     log_command_params(ctx)
     query_file = load_query_file(query_file=input, min_length=min_length,
-                                 max_length=max_length)
+                                 max_length=max_length, shard=shard)
     hierarchical_database_search(query_file=query_file,
                                  databases=db_path,
                                  output_path=output,
@@ -231,7 +235,8 @@ def search_databases(ctx, input, output, db_path, mmseqs_sensitivity,
               help="Path to a GO OBO file (go-basic.obo); downloaded "
                    "automatically when needed if not provided.")
 @click.pass_context
-def predict_function(ctx, input, db_path, weights, output, processing_modes,
+def predict_function(ctx, input, db_path, weights, output, shard,
+                     processing_modes,
                      angstrom_contact_thresh, generate_contacts,
                      mmseqs_sensitivity, mmseqs_min_bitscore,
                      mmseqs_max_evalue, mmseqs_min_identity,
@@ -251,7 +256,7 @@ def predict_function(ctx, input, db_path, weights, output, processing_modes,
     log_command_params(ctx)
 
     query_file = load_query_file(query_file=input, min_length=min_length,
-                                 max_length=max_length)
+                                 max_length=max_length, shard=shard)
     deepfri_dbs = hierarchical_database_search(
         query_file=query_file,
         output_path=output_path / "database_search",
@@ -269,7 +274,7 @@ def predict_function(ctx, input, db_path, weights, output, processing_modes,
 
     # refresh the query file: the search mutates it (reference cli.py:473-479)
     query_file = load_query_file(query_file=input, min_length=min_length,
-                                 max_length=max_length)
+                                 max_length=max_length, shard=shard)
 
     predict_protein_function(
         query_file=query_file,
@@ -404,6 +409,22 @@ def finetune(weights, mode, structures, labels, output, epochs,
                         contact_threshold=angstrom_contact_thresh,
                         model_parallel=model_parallel, seed=seed)
     click.echo(f"Fine-tuned checkpoint written to {path}")
+
+
+@main.command("merge-results")
+@click.argument("shard_dirs", nargs=-1, required=True,
+                type=click.Path(exists=True, file_okay=False,
+                                path_type=Path))
+@click.option("-o", "--output", required=True,
+              type=click.Path(path_type=Path),
+              help="Directory for the merged catalogue-level results.")
+def merge_results(shard_dirs, output):
+    """Merge per-host `--shard I/N` pipeline outputs into one directory."""
+    from metagenomic_deepfri_tpu.parallel.multihost import merge_shard_results
+
+    merged = merge_shard_results(shard_dirs, output)
+    for path in merged:
+        click.echo(str(path))
 
 
 @main.command("verify-weights")

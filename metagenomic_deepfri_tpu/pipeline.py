@@ -67,8 +67,15 @@ SCORE_THRESHOLD = 0.1  # reference pipeline.py:701,735
 
 def load_query_file(query_file,
                     min_length: Optional[int] = None,
-                    max_length: Optional[int] = None) -> QueryFile:
-    """Load + filter sequences (reference pipeline.py:66-104)."""
+                    max_length: Optional[int] = None,
+                    shard: Optional[str] = None) -> QueryFile:
+    """Load + filter sequences (reference pipeline.py:66-104).
+
+    ``shard="I/N"`` keeps only this host's deterministic slice of the
+    catalogue (multi-host input sharding —
+    :mod:`metagenomic_deepfri_tpu.parallel.multihost`); per-host outputs
+    merge with ``merge_shard_results`` / the ``merge-results`` CLI verb.
+    """
     qf = QueryFile(filepath=query_file)
     qf.load_sequences()
     removed_seleno = qf.remove_selenocysteine()
@@ -79,6 +86,23 @@ def load_query_file(query_file,
         lo = min_length or 0
         hi = max_length or float("inf")
         qf.filter_sequences(lambda x: lo <= len(x) <= hi)
+    if shard:
+        from metagenomic_deepfri_tpu.parallel.multihost import shard_of
+
+        try:
+            idx_s, count_s = str(shard).split("/")
+            idx, count = int(idx_s), int(count_s)
+        except ValueError as e:
+            raise ValueError(f"shard must look like 'I/N', got {shard!r}") \
+                from e
+        if not 0 <= idx < count:
+            raise ValueError(f"shard index {idx} not in [0, {count})")
+        before = len(qf.sequences)
+        drop = [qid for qid in qf.sequences
+                if shard_of(qid, count) != idx]
+        qf.remove_sequences(drop)
+        logger.info("Shard %d/%d: keeping %d/%d queries.",
+                    idx, count, len(qf.sequences), before)
     return qf
 
 
