@@ -243,6 +243,18 @@ class BatchedPredictor:
         self.gcn_models = gcn_models or {}
         self.cnn_models = cnn_models or {}
         self.buckets = tuple(buckets)
+        if matmul_precision is None:
+            # On TPU the default f32 matmul precision is reduced (bf16
+            # passes), which perturbs float32-config scores by ~1e-3 vs the
+            # CPU/ONNX oracle. "float32" should mean float32: force exact
+            # matmuls unless the model explicitly opts into bfloat16
+            # compute (the production fast path, which keeps XLA's default).
+            all_handles = list(self.gcn_models.values()) + \
+                list(self.cnn_models.values())
+            if all_handles and all(
+                    getattr(h.config, "compute_dtype", "float32")
+                    == "float32" for h in all_handles):
+                matmul_precision = "highest"
         self.matmul_precision = matmul_precision
         self.batch_cap = batch_cap
         self.contact_threshold = float(contact_threshold)

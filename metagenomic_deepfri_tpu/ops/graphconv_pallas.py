@@ -188,7 +188,18 @@ def graphconv_aggregate(coords: jnp.ndarray, ins_mask: jnp.ndarray,
     B, L, C = coords.shape
     D = xs.shape[-1]
     if D % _LANE != 0:
-        raise ValueError(f"feature dim {D} must be a multiple of {_LANE}")
+        # Mosaic needs lane-aligned feature blocks; small models (tests,
+        # toy configs) fall back to the XLA dense-masked path, which is
+        # mathematically identical.
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            aligned_contacts_from_coords
+
+        adj = aligned_contacts_from_coords(
+            coords, ins_mask, lengths, threshold=threshold,
+            generated_contacts=generated_contacts)
+        cdt = jnp.dtype(compute_dtype)
+        return jnp.einsum("bij,bjd->bid", adj.astype(cdt), xs.astype(cdt),
+                          preferred_element_type=jnp.float32)
     T = _choose_tile(L)
     packed = _pack_coords_ins(coords, ins_mask)
 
