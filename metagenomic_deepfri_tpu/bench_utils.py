@@ -96,12 +96,12 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
 
     # warm-up / compile: one full untimed pass covers every compiled shape
     # (buckets, flat-wire capacity variants), so the timed passes measure
-    # steady-state throughput. Two timed passes, best-of: the tunneled
+    # steady-state throughput. Three timed passes, best-of: the tunneled
     # link's bandwidth varies several-fold between runs, and the best pass
     # is the closer estimate of the engine's actual throughput.
     run(items)
     elapsed_passes = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         run(items)
         elapsed_passes.append(time.perf_counter() - t0)

@@ -300,3 +300,26 @@ class TestFlatWire:
         again_small = engine._flat_cap_for(10, 64, 8)
         assert big >= small
         assert again_small == big  # high-water mark never shrinks
+
+
+class TestPrecisionDefaults:
+    def test_f32_models_force_highest(self):
+        handle = ModelHandle("gcn", "mf", GCN_CFG,
+                             init_gcn(jax.random.PRNGKey(0), GCN_CFG))
+        engine = BatchedPredictor(gcn_models={"mf": handle})
+        assert engine.matmul_precision == "highest"
+
+    def test_bf16_models_keep_default(self):
+        import dataclasses
+        cfg = dataclasses.replace(GCN_CFG, compute_dtype="bfloat16")
+        handle = ModelHandle("gcn", "mf", cfg,
+                             init_gcn(jax.random.PRNGKey(0), cfg))
+        engine = BatchedPredictor(gcn_models={"mf": handle})
+        assert engine.matmul_precision is None
+
+    def test_explicit_override_wins(self):
+        handle = ModelHandle("gcn", "mf", GCN_CFG,
+                             init_gcn(jax.random.PRNGKey(0), GCN_CFG))
+        engine = BatchedPredictor(gcn_models={"mf": handle},
+                                  matmul_precision="default")
+        assert engine.matmul_precision == "default"
