@@ -515,21 +515,14 @@ class BatchedPredictor:
         async ``device_put`` of the two small input arrays, no host sync
         until the whole group's scores are stacked on device.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         group_batches = max(1, _MAX_MEGA_BYTES // max(bucket * batch, 1))
         group_rows = group_batches * batch
-        for gstart in range(0, len(idxs), group_rows):
-            gidx = idxs[gstart:gstart + group_rows]
-            chunk_items = [items[i] for i in gidx]
-            per_mode = {m: [] for m in modes}
-            for start in range(0, len(gidx), batch):
-                chunk = chunk_items[start:start + batch]
-                tokens, lengths, _ = _pad_batch(chunk, bucket, batch, False)
-                tokens_d = jax.device_put(tokens)
-                lengths_d = jax.device_put(lengths)
-                for mode in modes:
-                    params = self.cnn_models[mode].params
-                    per_mode[mode].append(
-                        self._cnn_step(mode)(params, tokens_d, lengths_d))
+        drainer = ThreadPoolExecutor(max_workers=1)
+        drain_futs = []
+
+        def drain(chunk_items, per_mode):
             group_out = {m: {} for m in modes}
             for mode in modes:
                 # one bulk fetch per mode; device_get drains the chunk list
@@ -544,6 +537,29 @@ class BatchedPredictor:
                 result_cb(group_out)
             if progress_cb:
                 progress_cb(len(chunk_items))
+
+        try:
+            for gstart in range(0, len(idxs), group_rows):
+                gidx = idxs[gstart:gstart + group_rows]
+                chunk_items = [items[i] for i in gidx]
+                per_mode = {m: [] for m in modes}
+                for start in range(0, len(gidx), batch):
+                    chunk = chunk_items[start:start + batch]
+                    tokens, lengths, _ = _pad_batch(chunk, bucket, batch,
+                                                    False)
+                    tokens_d = jax.device_put(tokens)
+                    lengths_d = jax.device_put(lengths)
+                    for mode in modes:
+                        params = self.cnn_models[mode].params
+                        per_mode[mode].append(
+                            self._cnn_step(mode)(params, tokens_d,
+                                                 lengths_d))
+                drain_futs.append(
+                    drainer.submit(drain, chunk_items, per_mode))
+            for f in drain_futs:
+                f.result()
+        finally:
+            drainer.shutdown(wait=True)
 
     def _run_coords_bucket(self, items, idxs, bucket: int, batch: int,
                            modes, out, progress_cb=None, result_cb=None):
@@ -577,8 +593,30 @@ class BatchedPredictor:
 
         # pack-ahead worker: batch k+1 is packed on a thread while batch k's
         # transfer/dispatch is in flight (numpy packing releases the GIL in
-        # the copy loops enough to overlap with the async runtime)
+        # the copy loops enough to overlap with the async runtime).
+        # drain worker: group k's device→host fetch + emit runs on its own
+        # thread so packing/dispatch of group k+1 never blocks behind it
+        # (one worker → groups emit in order, result_cb stays sequential).
         packer = ThreadPoolExecutor(max_workers=1)
+        drainer = ThreadPoolExecutor(max_workers=1)
+        drain_futs = []
+
+        def drain(chunk_items, per_mode):
+            group_out = {m: {} for m in modes}
+            for mode in modes:
+                # one bulk fetch per mode; device_get drains the chunk
+                # list without a device-side concat (which would
+                # recompile per distinct chunk count)
+                hosts = jax.device_get(per_mode[mode])
+                for i, item in enumerate(chunk_items):
+                    row = hosts[i // batch][i % batch]
+                    out[mode][item[0]] = row
+                    group_out[mode][item[0]] = row
+            if result_cb:
+                result_cb(group_out)
+            if progress_cb:
+                progress_cb(len(chunk_items))
+
         try:
             for gstart in range(0, len(idxs), group_rows):
                 gidx = idxs[gstart:gstart + group_rows]
@@ -604,22 +642,13 @@ class BatchedPredictor:
                         else:
                             scores = self._gcn_coords_step(mode)(params, x)
                         per_mode[mode].append(scores)
-                group_out = {m: {} for m in modes}
-                for mode in modes:
-                    # one bulk fetch per mode; device_get drains the chunk
-                    # list without a device-side concat (which would
-                    # recompile per distinct chunk count)
-                    hosts = jax.device_get(per_mode[mode])
-                    for i, item in enumerate(chunk_items):
-                        row = hosts[i // batch][i % batch]
-                        out[mode][item[0]] = row
-                        group_out[mode][item[0]] = row
-                if result_cb:
-                    result_cb(group_out)
-                if progress_cb:
-                    progress_cb(len(chunk_items))
+                drain_futs.append(
+                    drainer.submit(drain, chunk_items, per_mode))
+            for f in drain_futs:
+                f.result()  # propagate fetch/callback errors
         finally:
             packer.shutdown(wait=True)
+            drainer.shutdown(wait=True)
 
     # -- streaming API -------------------------------------------------------
 
