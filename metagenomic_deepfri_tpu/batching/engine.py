@@ -650,6 +650,83 @@ class BatchedPredictor:
             packer.shutdown(wait=True)
             drainer.shutdown(wait=True)
 
+    # -- warmup --------------------------------------------------------------
+
+    def warmup(self, modes: Optional[Iterable[str]] = None,
+               nets: Sequence[str] = ("gcn_coords", "cnn"),
+               buckets: Optional[Sequence[int]] = None,
+               background: bool = True):
+        """Compile + first-execute every (bucket, net, mode) program.
+
+        First execution of a fresh executable can cost seconds (backend
+        compile/load); a pipeline that warms the engine while the CPU-side
+        search/alignment phase runs starts inference hot. Dummy batches use
+        half-bucket lengths (the typical occupancy, so the flat-wire
+        capacity high-water mark lands on the production shape).
+
+        Returns a ``concurrent.futures.Future`` when ``background`` (wait
+        on it to observe errors), else runs synchronously.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _run_warmup():
+            for bucket in (buckets or self.buckets):
+                for net in nets:
+                    is_gcn = net == "gcn_coords"
+                    handles = self.gcn_models if is_gcn else self.cnn_models
+                    warm_modes = [m for m in (modes or handles) if m in
+                                  handles]
+                    if not warm_modes:
+                        continue
+                    batch = ((gcn_batch_size(bucket) if is_gcn
+                              else cnn_batch_size(bucket))
+                             * self._data_parallel)
+                    if self.batch_cap:
+                        batch = min(batch, self.batch_cap)
+                    L = max(bucket // 2, 1)
+                    seq = "A" * L
+                    if is_gcn:
+                        items = [(f"_warm{i}", seq,
+                                  np.zeros((L, 3), np.float32),
+                                  np.zeros(L, bool))
+                                 for i in range(batch)]
+                        if self.mesh is None:
+                            cap = self._flat_cap_for(batch * L, bucket,
+                                                     batch)
+                            x = jax.device_put(
+                                _pack_coords_flat(items, batch, cap))
+                            args = self._flat_unpack(batch, bucket)(x)
+                            outs = [self._gcn_coords_args_step(m)(
+                                self.gcn_models[m].params, *args)
+                                for m in warm_modes]
+                        else:
+                            x = jax.device_put(
+                                _pack_coords_mega(items, bucket, batch))
+                            outs = [self._gcn_coords_step(m)(
+                                self.gcn_models[m].params, x)
+                                for m in warm_modes]
+                    else:
+                        tokens, lengths, _ = _pad_batch(
+                            [(f"_warm{i}", seq) for i in range(batch)],
+                            bucket, batch, False)
+                        t_d = jax.device_put(tokens)
+                        l_d = jax.device_put(lengths)
+                        outs = [self._cnn_step(m)(
+                            self.cnn_models[m].params, t_d, l_d)
+                            for m in warm_modes]
+                    jax.block_until_ready(outs)
+            logger.info("Engine warm: %d bucket(s) × %s compiled.",
+                        len(buckets or self.buckets), list(nets))
+
+        if not background:
+            _run_warmup()
+            return None
+        pool = ThreadPoolExecutor(max_workers=1,
+                                  thread_name_prefix="engine-warmup")
+        fut = pool.submit(_run_warmup)
+        pool.shutdown(wait=False)
+        return fut
+
     # -- streaming API -------------------------------------------------------
 
     def predict_stream(self, items_iter, net: str = "gcn_coords",

@@ -345,6 +345,14 @@ def predict_protein_function(
                                  contact_threshold=angstrom_contact_threshold,
                                  generated_contacts=generate_contacts,
                                  mesh=mesh)
+    # Pre-compile the buckets this workload will actually hit, on a
+    # background thread — overlaps executable compile/load with the
+    # CPU-side alignment phase so inference starts hot.
+    from metagenomic_deepfri_tpu.batching.buckets import assign_bucket
+    needed_buckets = sorted({assign_bucket(len(s), predictor.buckets)
+                             for s in query_file.sequences.values()})
+    warmup_future = predictor.warmup(buckets=needed_buckets) \
+        if needed_buckets else None
 
     # Streaming checkpoint: a killed run resumes here instead of recomputing
     # every score (the reference restarts inference from scratch).
@@ -466,6 +474,10 @@ def predict_protein_function(
     gcn_scores = {m: {} for m in gcn_handles}
     ckpt.merge_into("gcn", gcn_scores)
     ckpt.merge_into("cnn", cnn_scores)
+    if warmup_future is not None and warmup_future.done() \
+            and warmup_future.exception():
+        logger.warning("Engine warmup failed (inference itself succeeded): "
+                       "%s", warmup_future.exception())
 
     # ---- prediction matrices (reference pipeline.py:540-655) -----------------
     matrix_jobs_by_mode: Dict[str, List[Dict[str, Any]]] = {}

@@ -153,7 +153,12 @@ class AnnotationServer:
                 for k, v in load_fasta_as_dict(db.sequence_db).items()}
             logger.info("Serving database %s: %d targets.",
                         db.name, len(self._targets[db.name]))
-        logger.info("Annotation server ready: modes=%s, databases=%d.",
+        # warm the common buckets in the background so early requests skip
+        # most first-execution compile cost
+        self._warmup_future = self.engine.warmup(
+            buckets=[b for b in self.engine.buckets if b <= 512])
+        logger.info("Annotation server ready: modes=%s, databases=%d "
+                    "(engine warming in background).",
                     self.modes, len(self.databases))
 
     # -- core ---------------------------------------------------------------
