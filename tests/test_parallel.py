@@ -125,3 +125,74 @@ def test_pod_mesh_single_host():
     assert mesh.shape == {"data": 4, "model": 2}
     mesh = make_pod_mesh(model_parallel=1)
     assert mesh.shape == {"data": 8, "model": 1}
+
+
+class TestGraphShardedForward:
+    def test_matches_single_device_forward(self):
+        """Full node-sharded GCN forward == replicated gcn_forward."""
+        import jax
+        import jax.numpy as jnp
+
+        from metagenomic_deepfri_tpu.models.deepfri import (GCNConfig,
+                                                            gcn_forward,
+                                                            init_gcn)
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            aligned_contacts_from_coords
+        from metagenomic_deepfri_tpu.parallel import make_mesh
+        from metagenomic_deepfri_tpu.parallel.graph_shard import \
+            make_graph_sharded_gcn_forward
+
+        n = jax.device_count()
+        mesh = make_mesh(model_parallel=n)
+        B, L = 2, 8 * n
+        config = GCNConfig(n_labels=6, lm_hidden=8, lm_layers=1,
+                           embed_dim=16, gc_dims=(8, 8), fc_dims=(16,),
+                           adj_norm="sym")
+        params = init_gcn(jax.random.PRNGKey(0), config)
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray(rng.integers(1, 20, (B, L)), jnp.uint8)
+        coords = jnp.asarray(
+            np.cumsum(rng.normal(size=(B, L, 3)) * 2.0, axis=1),
+            jnp.float32)
+        ins = jnp.asarray(rng.random((B, L)) < 0.2)
+        lengths = jnp.asarray([L, L - 5], jnp.int32)
+
+        fwd = make_graph_sharded_gcn_forward(mesh, config, L)
+        sharded = np.asarray(fwd(params, tokens, coords, ins, lengths))
+
+        adj = aligned_contacts_from_coords(coords, ins, lengths)
+        ref = np.asarray(gcn_forward(params, config, tokens, adj, lengths))
+        np.testing.assert_allclose(sharded, ref, atol=1e-5)
+
+    def test_row_norm_variant(self):
+        import jax
+        import jax.numpy as jnp
+
+        from metagenomic_deepfri_tpu.models.deepfri import (GCNConfig,
+                                                            gcn_forward,
+                                                            init_gcn)
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            aligned_contacts_from_coords
+        from metagenomic_deepfri_tpu.parallel import make_mesh
+        from metagenomic_deepfri_tpu.parallel.graph_shard import \
+            make_graph_sharded_gcn_forward
+
+        n = jax.device_count()
+        mesh = make_mesh(model_parallel=n)
+        B, L = 1, 4 * n
+        config = GCNConfig(n_labels=4, lm_hidden=8, lm_layers=1,
+                           embed_dim=8, gc_dims=(8,), fc_dims=(8,),
+                           adj_norm="row")
+        params = init_gcn(jax.random.PRNGKey(1), config)
+        rng = np.random.default_rng(2)
+        tokens = jnp.asarray(rng.integers(1, 20, (B, L)), jnp.uint8)
+        coords = jnp.asarray(
+            np.cumsum(rng.normal(size=(B, L, 3)) * 2.0, axis=1), jnp.float32)
+        ins = jnp.zeros((B, L), bool)
+        lengths = jnp.asarray([L], jnp.int32)
+
+        fwd = make_graph_sharded_gcn_forward(mesh, config, L)
+        sharded = np.asarray(fwd(params, tokens, coords, ins, lengths))
+        adj = aligned_contacts_from_coords(coords, ins, lengths)
+        ref = np.asarray(gcn_forward(params, config, tokens, adj, lengths))
+        np.testing.assert_allclose(sharded, ref, atol=1e-5)
