@@ -163,3 +163,35 @@ class TestSocket:
         finally:
             srv.shutdown()
             t.join(timeout=10)
+
+
+class TestSequenceOnlyServer:
+    def test_no_database_cnn_only(self, tmp_path):
+        """A server with no databases serves CNN-only annotations."""
+        import json as _json
+
+        from metagenomic_deepfri_tpu.serving import AnnotationServer
+
+        import jax as _jax
+
+        w = tmp_path / "w"
+        w.mkdir()
+        name = "DeepFRI-MERGED_GraphConv_gcd_8_fcd_16_ca_10.0_mf.onnx"
+        cname = "DeepCNN-MERGED_mf.onnx"
+        export_gcn_to_onnx(init_gcn(_jax.random.PRNGKey(5), GCN_CFG),
+                           GCN_CFG, str(w / name))
+        export_cnn_to_onnx(init_cnn(_jax.random.PRNGKey(6), CNN_CFG),
+                           CNN_CFG, str(w / cname))
+        for n in (name, cname):
+            with open(w / (n[:-5] + "_model_params.json"), "w") as f:
+                _json.dump({"goterms": GOTERMS,
+                            "gonames": ["x"] * N_LABELS}, f)
+        with open(w / "model_config.json", "w") as f:
+            _json.dump({"gcn": {"mf": str(w / name)},
+                        "cnn": {"mf": str(w / cname)},
+                        "version": "1.0"}, f)
+        srv2 = AnnotationServer(w, databases=[], processing_modes=["mf"])
+        out = srv2.annotate({"q": _rand_seq(40)})
+        assert out["results"]["q"]["aligned"] is False
+        assert out["results"]["q"]["network"] == "cnn"
+        assert "mf" in out["results"]["q"]["scores"]
