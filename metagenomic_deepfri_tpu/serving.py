@@ -153,6 +153,11 @@ class AnnotationServer:
                 for k, v in load_fasta_as_dict(db.sequence_db).items()}
             logger.info("Serving database %s: %d targets.",
                         db.name, len(self._targets[db.name]))
+        import queue as _queue
+
+        self._req_q: "_queue.Queue" = _queue.Queue()
+        self._batcher = None
+        self._batcher_lock = threading.Lock()
         # warm the common buckets in the background so early requests skip
         # most first-execution compile cost
         self._warmup_future = self.engine.warmup(
@@ -254,6 +259,96 @@ class AnnotationServer:
             results[qid] = entry
         return {"results": results, "skipped": skipped}
 
+    # -- request micro-batching ---------------------------------------------
+
+    def submit(self, proteins: Dict[str, str], timeout: float = 600.0
+               ) -> dict:
+        """Annotate via the micro-batching queue (concurrent-safe).
+
+        Concurrent requests landing within ``batch_window_s`` coalesce into
+        ONE pass through search/alignment/inference — the engine sees
+        fuller batches and per-request overhead amortises. Each request's
+        ids are namespaced internally, so collisions across requests are
+        fine. Single-threaded callers lose nothing: an idle queue drains
+        immediately.
+        """
+        import concurrent.futures as _cf
+
+        self._ensure_batcher()
+        fut: "_cf.Future" = _cf.Future()
+        self._req_q.put((proteins, fut))
+        return fut.result(timeout=timeout)
+
+    batch_window_s = 0.02
+    max_batch_proteins = 2048
+
+    def _ensure_batcher(self) -> None:
+        with self._batcher_lock:
+            if self._batcher is None:
+                self._batcher = threading.Thread(target=self._batch_loop,
+                                                 daemon=True,
+                                                 name="annotation-batcher")
+                self._batcher.start()
+
+    def _batch_loop(self) -> None:
+        import queue as _queue
+
+        while True:
+            try:
+                self._drain_once()
+            except _queue.Empty:
+                continue
+
+    def _drain_once(self, first_timeout: Optional[float] = 1.0) -> int:
+        """Collect one micro-batch from the queue and process it.
+
+        Returns the number of coalesced requests (0 on timeout). Split out
+        from the loop for deterministic testing.
+        """
+        import queue as _queue
+        import time as _time
+
+        try:
+            pending = [self._req_q.get(timeout=first_timeout)]
+        except _queue.Empty:
+            return 0
+        deadline = _time.monotonic() + self.batch_window_s
+        total = len(pending[0][0])
+        while total < self.max_batch_proteins:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._req_q.get(timeout=remaining)
+            except _queue.Empty:
+                break
+            pending.append(req)
+            total += len(req[0])
+
+        merged: Dict[str, str] = {}
+        for ridx, (proteins, _) in enumerate(pending):
+            for qid, seq in proteins.items():
+                merged[f"r{ridx}\x1f{qid}"] = seq
+        try:
+            combined = self.annotate(merged)
+        except Exception as e:  # noqa: BLE001 — fan the error out
+            for _, fut in pending:
+                if not fut.done():
+                    fut.set_exception(e)
+            return len(pending)
+        for ridx, (proteins, fut) in enumerate(pending):
+            prefix = f"r{ridx}\x1f"
+            res = {"results": {}, "skipped": {}}
+            for key, value in combined["results"].items():
+                if key.startswith(prefix):
+                    res["results"][key[len(prefix):]] = value
+            for key, value in combined["skipped"].items():
+                if key.startswith(prefix):
+                    res["skipped"][key[len(prefix):]] = value
+            if not fut.done():
+                fut.set_result(res)
+        return len(pending)
+
     # -- transport ----------------------------------------------------------
 
     def serve_unix(self, socket_path, ready_event=None) -> None:
@@ -293,7 +388,9 @@ class _JsonlHandler(socketserver.StreamRequestHandler):
                 continue
             try:
                 request = json.loads(line)
-                response = self.server.annotator.annotate(
+                # submit() coalesces concurrent connections' requests into
+                # shared engine batches
+                response = self.server.annotator.submit(
                     request.get("proteins", {}))
             except Exception as e:  # noqa: BLE001 — protocol boundary
                 logger.exception("Request failed")

@@ -195,3 +195,35 @@ class TestSequenceOnlyServer:
         assert out["results"]["q"]["aligned"] is False
         assert out["results"]["q"]["network"] == "cnn"
         assert "mf" in out["results"]["q"]["scores"]
+
+
+class TestMicroBatching:
+    def test_coalesced_requests_split_correctly(self, server):
+        """Queued concurrent requests merge into one annotate() pass and
+        split back per request, id collisions included."""
+        import concurrent.futures as cf
+
+        srv, seqs = server
+        reqs = [
+            {"q": _mutate(seqs["af_0"], 2), "extra": _rand_seq(40)},
+            {"q": _rand_seq(42)},             # same id, different protein
+            {"s": "MKVU" + _rand_seq(20)},    # selenocysteine skip
+        ]
+        futs = [cf.Future() for _ in reqs]
+        for r, f in zip(reqs, futs):
+            srv._req_q.put((r, f))
+        n = srv._drain_once(first_timeout=1.0)
+        assert n == 3
+        r0, r1, r2 = (f.result(timeout=5) for f in futs)
+        assert r0["results"]["q"]["aligned"] is True
+        assert r0["results"]["q"]["target"] == "af_0"
+        assert r0["results"]["extra"]["network"] == "cnn"
+        assert r1["results"]["q"]["aligned"] is False
+        assert set(r1["results"]) == {"q"}
+        assert r2["skipped"] == {"s": "selenocysteine"}
+        assert r2["results"] == {}
+
+    def test_submit_single(self, server):
+        srv, seqs = server
+        out = srv.submit({"solo": _mutate(seqs["af_1"], 2)}, timeout=120)
+        assert out["results"]["solo"]["target"] == "af_1"
