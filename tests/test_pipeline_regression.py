@@ -293,6 +293,17 @@ def test_structure_dir_database_end_to_end(weights_dir, tmp_path):
         threads=2)
     assert len(dbs) == 1
 
+    # mini GO DAG over the fixture vocabulary: term 1 is_a 5, 2 part_of 5
+    obo = tmp_path / "go-mini.obo"
+    obo.write_text("\n".join([
+        "format-version: 1.2", "",
+        "[Term]", "id: GO:0000001", "name: child one",
+        "is_a: GO:0000005 ! parent", "",
+        "[Term]", "id: GO:0000002", "name: child two",
+        "relationship: part_of GO:0000005 ! parent", "",
+        "[Term]", "id: GO:0000005", "name: parent", "",
+    ]) + "\n")
+
     qf2 = load_query_file(tmp_path / "queries.faa")
     predict_protein_function(
         query_file=qf2,
@@ -300,7 +311,14 @@ def test_structure_dir_database_end_to_end(weights_dir, tmp_path):
         weights=weights_dir,
         output_path=out,
         deepfri_processing_modes=["mf"],
-        threads=2)
+        threads=2,
+        propagate_go_terms=True,
+        obo_path=obo)
+
+    propagated = (out / "results_propagated.tsv").read_text().strip()
+    plines = propagated.split("\n")
+    assert plines[0].split("\t")[-1] == "propagated"
+    assert len(plines) > 1
 
     summary = (out / "alignment_summary.tsv").read_text().strip().split("\n")
     rows = {r.split("\t")[0]: r.split("\t") for r in summary[1:]}
