@@ -280,6 +280,7 @@ class BatchedPredictor:
         self._gcn_flat_jit = {}
         self._flat_unpack_jit = {}
         self._flat_cap = {}
+        self._flat_cap_lock = threading.Lock()
         self._cnn_jit = {}
 
     # -- compiled forwards ---------------------------------------------------
@@ -364,9 +365,13 @@ class BatchedPredictor:
         ONE compiled unpack shape after the first few batches.
         """
         key = (bucket, batch)
-        cap = max(self._flat_cap.get(key, 0),
-                  _flat_capacity(total_rows, bucket, batch))
-        self._flat_cap[key] = cap
+        # Called concurrently from the pack-ahead thread, the warmup thread
+        # and stream dispatch; the lock keeps the high-water update atomic
+        # (a lost update would lower the cap and retrace the unpack jit).
+        with self._flat_cap_lock:
+            cap = max(self._flat_cap.get(key, 0),
+                      _flat_capacity(total_rows, bucket, batch))
+            self._flat_cap[key] = cap
         return cap
 
     def _flat_unpack(self, batch: int, bucket: int):
@@ -670,6 +675,16 @@ class BatchedPredictor:
         from concurrent.futures import ThreadPoolExecutor
 
         def _run_warmup():
+            # Same matmul-precision context as _run/stream: precision is part
+            # of the jit trace key, so warming outside it would compile every
+            # executable under the wrong precision and the first real batch
+            # would retrace everything (warmup would be a no-op).
+            ctx = (jax.default_matmul_precision(self.matmul_precision)
+                   if self.matmul_precision else _nullcontext())
+            with ctx:
+                _run_warmup_body()
+
+        def _run_warmup_body():
             for bucket in (buckets or self.buckets):
                 for net in nets:
                     is_gcn = net == "gcn_coords"

@@ -269,7 +269,7 @@ def nw_scores_device(query_tokens: np.ndarray,
     import jax
     import jax.numpy as jnp
 
-    return _nw_scores_device_jit(
+    return _ensure_device_jit()(
         jnp.asarray(query_tokens, jnp.int32),
         jnp.asarray(target_tokens, jnp.int32),
         jnp.asarray(target_lengths, jnp.int32),
