@@ -21,6 +21,7 @@ Optionally shards batches over a device mesh (data-parallel) via
 from __future__ import annotations
 
 import logging
+import threading
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple

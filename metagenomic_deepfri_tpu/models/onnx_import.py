@@ -27,10 +27,89 @@ import jax
 import jax.numpy as jnp
 
 from metagenomic_deepfri_tpu.models.deepfri import CNNConfig, GCNConfig
-from metagenomic_deepfri_tpu.models.onnx_reader import (OnnxGraph, OnnxNode,
-                                                        save_onnx)
+from metagenomic_deepfri_tpu.models.onnx_reader import (DTYPE_MAP, OnnxGraph,
+                                                        OnnxNode, save_onnx)
 
 _F32 = 1  # TensorProto.FLOAT
+
+
+# ---------------------------------------------------------------------------
+# Graph normalisation (tf2onnx noise folding)
+# ---------------------------------------------------------------------------
+
+def normalize_graph(graph: OnnxGraph) -> OnnxGraph:
+    """Fold exporter noise so import sees a clean dataflow graph.
+
+    Real published DeepFRI weights are tf2onnx opset-15 exports of TF2 Keras
+    models (reference ``weight_convert/convert_models2onnx.py:41-45``); those
+    graphs carry Constant nodes, Identity chains, and Cast/Transpose wrappers
+    around weight initializers. This pass (idempotent, in place):
+
+    * ``Constant`` nodes → initializers,
+    * ``Identity`` nodes → removed, consumers rewired to the source,
+    * ``Cast``/``Transpose`` of an initializer → folded into a new
+      initializer under the node's output name.
+
+    The :class:`OnnxExecutor` does NOT need this — it evaluates the raw
+    graph — so the parity oracle stays independent of the folding logic.
+    """
+    rename: dict[str, str] = {}
+    kept: list[OnnxNode] = []
+    for node in graph.nodes:  # ONNX requires topological node order
+        node.inputs = [rename.get(i, i) for i in node.inputs]
+        if node.op_type == "Constant" and "value" in node.attributes:
+            graph.initializers[node.outputs[0]] = np.asarray(
+                node.attributes["value"])
+            continue
+        if node.op_type == "Identity":
+            src = node.inputs[0]
+            if src in graph.initializers:
+                graph.initializers[node.outputs[0]] = \
+                    graph.initializers[src]
+            else:
+                rename[node.outputs[0]] = src
+            continue
+        if (node.op_type == "Cast"
+                and node.inputs[0] in graph.initializers):
+            src = graph.initializers[node.inputs[0]]
+            graph.initializers[node.outputs[0]] = src.astype(
+                DTYPE_MAP[node.attributes["to"]])
+            continue
+        if (node.op_type == "Transpose"
+                and node.inputs[0] in graph.initializers):
+            src = graph.initializers[node.inputs[0]]
+            graph.initializers[node.outputs[0]] = np.transpose(
+                src, node.attributes.get("perm"))
+            continue
+        kept.append(node)
+    graph.nodes = kept
+    for vi in graph.outputs:
+        vi.name = rename.get(vi.name, vi.name)
+    return graph
+
+
+def graph_input_roles(graph: OnnxGraph, vocab: int = 26) -> dict:
+    """Resolve the graph's runtime input names to DeepFRI roles by shape.
+
+    tf2onnx names inputs after the Keras layers (``input_1``/``input_2``)
+    rather than the reference's ``A``/``S`` convention, and symbolic dims of
+    the square adjacency may carry *different* placeholder names
+    (``unk__0`` × ``unk__1``) — so roles are resolved structurally: the
+    rank-3 input with trailing dim ``vocab`` is the sequence ``S``; any other
+    rank-3 input is the adjacency ``A``.
+    """
+    roles: dict = {"S": None, "A": None}
+    for vi in graph.inputs:
+        if len(vi.shape) == 3 and vi.shape[-1] == vocab:
+            roles["S"] = vi.name
+    for vi in graph.inputs:
+        if vi.name != roles["S"] and len(vi.shape) == 3:
+            roles["A"] = vi.name
+    if roles["S"] is None:
+        raise ValueError(
+            f"No (1, L, {vocab}) sequence input found among graph inputs "
+            f"{[(vi.name, vi.shape) for vi in graph.inputs]}")
+    return roles
 
 
 # ---------------------------------------------------------------------------

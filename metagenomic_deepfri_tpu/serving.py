@@ -162,6 +162,14 @@ class AnnotationServer:
         # most first-execution compile cost
         self._warmup_future = self.engine.warmup(
             buckets=[b for b in self.engine.buckets if b <= 512])
+
+        def _log_warmup_failure(fut):
+            exc = fut.exception()
+            if exc is not None:
+                logger.warning("Background engine warmup failed "
+                               "(first requests will compile inline): %s", exc)
+
+        self._warmup_future.add_done_callback(_log_warmup_failure)
         logger.info("Annotation server ready: modes=%s, databases=%d "
                     "(engine warming in background).",
                     self.modes, len(self.databases))
