@@ -270,9 +270,18 @@ class OnnxExecutor:
                            keepdims=keep)]
         if op == "ReduceMax":
             axes = attrs.get("axes")
+            if axes is None and len(x) > 1 and x[1] is not None:
+                axes = [int(a) for a in x[1]]
             keep = bool(attrs.get("keepdims", 1))
             return [np.max(x[0], axis=tuple(axes) if axes else None,
                            keepdims=keep)]
+        if op == "ReduceMean":
+            axes = attrs.get("axes")
+            if axes is None and len(x) > 1 and x[1] is not None:
+                axes = [int(a) for a in x[1]]
+            keep = bool(attrs.get("keepdims", 1))
+            return [np.mean(x[0], axis=tuple(axes) if axes else None,
+                            keepdims=keep)]
         if op == "Identity":
             return [x[0]]
         if op == "Cast":
@@ -281,7 +290,85 @@ class OnnxExecutor:
         if op == "Constant":
             return [np.asarray(attrs["value"])]
         if op == "Shape":
-            return [np.asarray(x[0].shape, dtype=np.int64)]
+            # opset 15 supports start/end attrs (negative = from the back)
+            dims = np.asarray(x[0].shape, dtype=np.int64)
+            start = attrs.get("start", 0)
+            end = attrs.get("end")
+            return [dims[start:end]]
+        if op == "Split":
+            axis = attrs.get("axis", 0)
+            sizes = attrs.get("split")
+            if sizes is None and len(x) > 1 and x[1] is not None:
+                sizes = [int(s) for s in x[1]]
+            if sizes is None:
+                n_out = len(node.outputs)
+                return list(np.split(x[0], n_out, axis=axis))
+            points = np.cumsum(sizes)[:-1]
+            return list(np.split(x[0], points, axis=axis))
+        if op == "Expand":
+            shape = tuple(int(d) for d in x[1])
+            out_shape = np.broadcast_shapes(x[0].shape, shape)
+            return [np.broadcast_to(x[0], out_shape)]
+        if op == "Where":
+            return [np.where(x[0], x[1], x[2])]
+        if op == "Pad":
+            mode = attrs.get("mode", b"constant")
+            if isinstance(mode, bytes):
+                mode = mode.decode()
+            pads = ([int(p) for p in x[1]] if len(x) > 1 and x[1] is not None
+                    else [int(p) for p in attrs.get("pads", [])])
+            rank = x[0].ndim
+            widths = [(pads[i], pads[i + rank]) for i in range(rank)]
+            if mode == "constant":
+                cval = (float(x[2]) if len(x) > 2 and x[2] is not None
+                        else attrs.get("value", 0.0))
+                return [np.pad(x[0], widths, constant_values=cval)]
+            if mode in ("reflect", "edge"):
+                return [np.pad(x[0], widths, mode=mode)]
+            raise NotImplementedError(f"Pad mode {mode}")
+        if op == "ConstantOfShape":
+            shape = tuple(int(d) for d in x[0])
+            value = attrs.get("value")
+            if value is None:
+                return [np.zeros(shape, np.float32)]
+            value = np.asarray(value)
+            return [np.full(shape, value.reshape(-1)[0], dtype=value.dtype)]
+        if op == "Range":
+            return [np.arange(x[0].item(), x[1].item(), x[2].item(),
+                              dtype=np.asarray(x[0]).dtype)]
+        if op == "Equal":
+            return [x[0] == x[1]]
+        if op == "Greater":
+            return [x[0] > x[1]]
+        if op == "Less":
+            return [x[0] < x[1]]
+        if op == "Not":
+            return [~np.asarray(x[0], bool)]
+        if op == "And":
+            return [np.logical_and(x[0], x[1])]
+        if op == "Or":
+            return [np.logical_or(x[0], x[1])]
+        if op == "Exp":
+            return [np.exp(x[0])]
+        if op == "Pow":
+            return [np.power(x[0], x[1])]
+        if op == "Neg":
+            return [-x[0]]
+        if op == "Min":
+            y = x[0]
+            for other in x[1:]:
+                y = np.minimum(y, other)
+            return [y]
+        if op == "Clip":
+            lo = x[1] if len(x) > 1 and x[1] is not None else attrs.get("min")
+            hi = x[2] if len(x) > 2 and x[2] is not None else attrs.get("max")
+            return [np.clip(x[0], lo, hi)]
+        if op == "Flatten":
+            axis = attrs.get("axis", 1)
+            lead = int(np.prod(x[0].shape[:axis], dtype=np.int64))
+            return [x[0].reshape(lead, -1)]
+        if op == "Tile":
+            return [np.tile(x[0], [int(r) for r in x[1]])]
         if op == "Gather":
             axis = attrs.get("axis", 0)
             return [np.take(x[0], x[1].astype(np.int64), axis=axis)]
@@ -330,9 +417,33 @@ class OnnxExecutor:
         return y
 
     def _lstm(self, x, attrs):
-        """ONNX LSTM (forward or bidirectional), default activations."""
-        X, W, R, B = x[0], x[1], x[2], x[3] if len(x) > 3 else None
+        """ONNX LSTM with full input-list semantics.
+
+        Supports forward / reverse / bidirectional direction, optional
+        ``sequence_lens`` (input 4: Y zeroed past each length, final states
+        taken at the last valid step, reverse direction processes the valid
+        prefix back-to-front — the pattern tf2onnx emits for Keras LSTM) and
+        optional ``initial_h``/``initial_c`` (inputs 5/6). Non-default
+        activations / clip / layout=1 raise (the DeepFRI exports use the
+        defaults).
+        """
+        X, W, R = x[0], x[1], x[2]
+        B = x[3] if len(x) > 3 else None
+        seq_lens = x[4] if len(x) > 4 else None
+        init_h = x[5] if len(x) > 5 else None
+        init_c = x[6] if len(x) > 6 else None
         hidden = attrs["hidden_size"]
+        acts = attrs.get("activations")
+        if acts:
+            names = [a.decode().lower() if isinstance(a, bytes) else
+                     str(a).lower() for a in acts]
+            if names != ["sigmoid", "tanh", "tanh"] * (len(names) // 3):
+                raise NotImplementedError(
+                    f"Non-default LSTM activations: {names}")
+        if attrs.get("clip") is not None:
+            raise NotImplementedError("LSTM clip attribute not supported")
+        if attrs.get("layout", 0):
+            raise NotImplementedError("LSTM layout=1 not supported")
         direction = attrs.get("direction", b"forward")
         if isinstance(direction, bytes):
             direction = direction.decode()
@@ -340,24 +451,36 @@ class OnnxExecutor:
         seq_len, batch, _ = X.shape
         if B is None:
             B = np.zeros((num_dir, 8 * hidden), np.float32)
+        lens = (np.full((batch,), seq_len, np.int64) if seq_lens is None
+                else np.asarray(seq_lens).astype(np.int64).reshape(batch))
+        h0 = (np.zeros((num_dir, batch, hidden), np.float32)
+              if init_h is None else np.asarray(init_h, np.float32))
+        c0 = (np.zeros((num_dir, batch, hidden), np.float32)
+              if init_c is None else np.asarray(init_c, np.float32))
 
         def run_dir(d, reverse):
             w, r = W[d], R[d]
             wb, rb = B[d][:4 * hidden], B[d][4 * hidden:]
-            h = np.zeros((batch, hidden), np.float32)
-            c = np.zeros((batch, hidden), np.float32)
             ys = np.zeros((seq_len, batch, hidden), np.float32)
-            order = range(seq_len - 1, -1, -1) if reverse else range(seq_len)
-            for t in order:
-                gates = X[t] @ w.T + h @ r.T + wb + rb
-                i = _sigmoid(gates[:, :hidden])
-                o = _sigmoid(gates[:, hidden:2 * hidden])
-                f = _sigmoid(gates[:, 2 * hidden:3 * hidden])
-                g = np.tanh(gates[:, 3 * hidden:])
-                c = f * c + i * g
-                h = o * np.tanh(c)
-                ys[t] = h
-            return ys, h, c
+            h_fin = np.zeros((batch, hidden), np.float32)
+            c_fin = np.zeros((batch, hidden), np.float32)
+            for b in range(batch):
+                T = int(lens[b])
+                h = h0[d, b].copy()
+                c = c0[d, b].copy()
+                order = range(T - 1, -1, -1) if reverse else range(T)
+                for t in order:
+                    gates = X[t, b] @ w.T + h @ r.T + wb + rb
+                    i = _sigmoid(gates[:hidden])
+                    o = _sigmoid(gates[hidden:2 * hidden])
+                    f = _sigmoid(gates[2 * hidden:3 * hidden])
+                    g = np.tanh(gates[3 * hidden:])
+                    c = f * c + i * g
+                    h = o * np.tanh(c)
+                    ys[t, b] = h
+                h_fin[b] = h
+                c_fin[b] = c
+            return ys, h_fin, c_fin
 
         dirs = []
         finals_h, finals_c = [], []
