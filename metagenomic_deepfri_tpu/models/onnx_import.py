@@ -112,6 +112,70 @@ def graph_input_roles(graph: OnnxGraph, vocab: int = 26) -> dict:
     return roles
 
 
+def _lstm_tensor(graph: OnnxGraph, name: str, what: str) -> np.ndarray:
+    if name and name in graph.initializers:
+        return np.asarray(graph.initializers[name], np.float32)
+    raise ValueError(
+        f"LSTM {what} '{name}' is not a graph initializer — run "
+        f"normalize_graph() on the graph before importing weights")
+
+
+def collect_lstm_layers(graph: OnnxGraph) -> list:
+    """Group a graph's LSTM nodes into model layers as (W, R, B) triples.
+
+    tf2onnx exports a Keras ``Bidirectional(LSTM)`` either as ONE node with
+    ``direction='bidirectional'`` or as TWO unidirectional nodes — a
+    ``forward`` and a ``reverse`` one reading the same input, concatenated
+    downstream. The pair form is merged here into a single bidirectional
+    layer with W/R/B stacked on the num_directions axis (ONNX order:
+    forward = 0, reverse = 1), so the importer sees one layer either way.
+    Call on a :func:`normalize_graph`-ed graph (weights must be
+    initializers).
+    """
+    entries = []
+    for node in graph.nodes:
+        if node.op_type != "LSTM":
+            continue
+        d = node.attributes.get("direction", b"forward")
+        if isinstance(d, bytes):
+            d = d.decode()
+        W = _lstm_tensor(graph, node.inputs[1], "W")
+        R = _lstm_tensor(graph, node.inputs[2], "R")
+        B = (_lstm_tensor(graph, node.inputs[3], "B")
+             if len(node.inputs) > 3 and node.inputs[3]
+             else np.zeros((W.shape[0], 8 * R.shape[-1]), np.float32))
+        entries.append({"x": node.inputs[0], "dir": d, "W": W, "R": R,
+                        "B": B})
+    layers = []
+    used = [False] * len(entries)
+    for i, e in enumerate(entries):
+        if used[i]:
+            continue
+        used[i] = True
+        if e["W"].shape[0] == 2 or e["dir"] == "bidirectional":
+            layers.append((e["W"], e["R"], e["B"]))
+            continue
+        mate = None
+        for j in range(i + 1, len(entries)):
+            if used[j]:
+                continue
+            m = entries[j]
+            if (m["x"] == e["x"] and m["W"].shape[0] == 1
+                    and {e["dir"], m["dir"]} == {"forward", "reverse"}):
+                mate = j
+                break
+        if mate is None:
+            layers.append((e["W"], e["R"], e["B"]))
+            continue
+        used[mate] = True
+        m = entries[mate]
+        fwd, bwd = (e, m) if e["dir"] == "forward" else (m, e)
+        layers.append((np.concatenate([fwd["W"], bwd["W"]], axis=0),
+                       np.concatenate([fwd["R"], bwd["R"]], axis=0),
+                       np.concatenate([fwd["B"], bwd["B"]], axis=0)))
+    return layers
+
+
 # ---------------------------------------------------------------------------
 # Gate-order conversion helpers
 # ---------------------------------------------------------------------------
@@ -383,6 +447,15 @@ class OnnxExecutor:
             for s, e, a, st in zip(starts, ends, axes, steps):
                 slices[a] = slice(s, e, st)
             return [x[0][tuple(slices)]]
+        if op == "ReverseSequence":
+            t_ax = attrs.get("time_axis", 0)
+            b_ax = attrs.get("batch_axis", 1)
+            lens = np.asarray(x[1]).astype(np.int64)
+            y = np.moveaxis(np.asarray(x[0]), (t_ax, b_ax), (0, 1)).copy()
+            for b in range(y.shape[1]):
+                n = int(lens[b])
+                y[:n, b] = y[:n, b][::-1]
+            return [np.moveaxis(y, (0, 1), (t_ax, b_ax))]
         if op == "Conv":
             return [self._conv(x, attrs)]
         if op == "LSTM":
@@ -667,9 +740,17 @@ def _topo_matmul_weights(graph: OnnxGraph):
         if node.op_type not in ("MatMul", "Gemm"):
             continue
         weight = None
-        for i in node.inputs[:2]:
+        for pos, i in enumerate(node.inputs[:2]):
             if i in graph.initializers and graph.initializers[i].ndim == 2:
                 weight = np.asarray(graph.initializers[i], np.float32)
+                # Orient Gemm weights to dataflow (in, out): tf2onnx stores
+                # Keras Dense kernels transposed behind transB=1 (and a
+                # square kernel can't be disambiguated by shape alone).
+                if node.op_type == "Gemm":
+                    trans = node.attributes.get(
+                        "transB" if pos == 1 else "transA", 0)
+                    if trans:
+                        weight = weight.T
         if weight is None:
             continue
         bias = None
@@ -710,19 +791,12 @@ def import_gcn_params(graph: OnnxGraph, config: GCNConfig) -> dict:
     in topological order (see module docstring for caveats on exporter
     naming — matching is structural, not name-based).
     """
-    lstm_nodes = [n for n in graph.nodes if n.op_type == "LSTM"]
-    if len(lstm_nodes) != config.lm_layers:
+    layers = collect_lstm_layers(graph)
+    if len(layers) != config.lm_layers:
         raise ValueError(
             f"Expected {config.lm_layers} LSTM layers, found "
-            f"{len(lstm_nodes)}; adjust GCNConfig.lm_layers")
-    lm = []
-    for node in lstm_nodes:
-        W = np.asarray(graph.initializers[node.inputs[1]], np.float32)
-        R = np.asarray(graph.initializers[node.inputs[2]], np.float32)
-        B = (np.asarray(graph.initializers[node.inputs[3]], np.float32)
-             if len(node.inputs) > 3 and node.inputs[3]
-             else np.zeros((W.shape[0], 8 * R.shape[-1]), np.float32))
-        lm.append(lstm_params_from_onnx(W, R, B))
+            f"{len(layers)}; adjust GCNConfig.lm_layers")
+    lm = [lstm_params_from_onnx(W, R, B) for W, R, B in layers]
 
     entries = _topo_matmul_weights(graph)
     lm_out = config.lm_hidden * (2 if getattr(config, "lm_bidirectional",

@@ -26,8 +26,12 @@ import jax.numpy as jnp
 
 from metagenomic_deepfri_tpu.batching.engine import ModelHandle
 from metagenomic_deepfri_tpu.models.deepfri import CNNConfig, GCNConfig
-from metagenomic_deepfri_tpu.models.onnx_import import (import_cnn_params,
-                                                        import_gcn_params)
+from metagenomic_deepfri_tpu.models.onnx_import import (_topo_matmul_weights,
+                                                        collect_lstm_layers,
+                                                        graph_input_roles,
+                                                        import_cnn_params,
+                                                        import_gcn_params,
+                                                        normalize_graph)
 from metagenomic_deepfri_tpu.models.onnx_reader import OnnxGraph, load_onnx
 from metagenomic_deepfri_tpu.utils import get_json_values, load_deepfri_config
 
@@ -39,14 +43,9 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 def _matmul_weight_shapes(graph: OnnxGraph) -> List[Tuple[int, int]]:
-    shapes = []
-    for node in graph.nodes:
-        if node.op_type not in ("MatMul", "Gemm"):
-            continue
-        for i in node.inputs[:2]:
-            if i in graph.initializers and graph.initializers[i].ndim == 2:
-                shapes.append(tuple(graph.initializers[i].shape))
-    return shapes
+    # Shapes come through the same collection the importer uses, so Gemm
+    # transA/transB orientation is applied identically in both places.
+    return [tuple(w.shape) for _node, w, _b in _topo_matmul_weights(graph)]
 
 
 def infer_gcn_config(graph: OnnxGraph, n_labels: int,
@@ -58,11 +57,12 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
     from E; fc dims from the concat width; the head is pinned by
     2·n_labels.
     """
-    lstm_nodes = [n for n in graph.nodes if n.op_type == "LSTM"]
-    if not lstm_nodes:
+    lstm_layers = collect_lstm_layers(graph)
+    if not lstm_layers:
         raise ValueError("No LSTM nodes found — not a DeepFRI GCN graph?")
-    hidden = graph.initializers[lstm_nodes[0].inputs[2]].shape[-1]
-    num_dir = graph.initializers[lstm_nodes[0].inputs[1]].shape[0]
+    _W0, R0, _B0 = lstm_layers[0]
+    hidden = R0.shape[-1]
+    num_dir = R0.shape[0]
     lm_out = hidden * num_dir
     shapes = _matmul_weight_shapes(graph)
 
@@ -121,7 +121,7 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
             f"n_labels={n_labels}")
     gc_dims, fc_dims = resolved
     return GCNConfig(n_labels=n_labels, vocab=vocab, lm_hidden=hidden,
-                     lm_layers=len(lstm_nodes), embed_dim=embed_dim,
+                     lm_layers=len(lstm_layers), embed_dim=embed_dim,
                      lm_bidirectional=num_dir == 2,
                      gc_dims=tuple(gc_dims), fc_dims=tuple(fc_dims),
                      adj_norm=detect_adj_norm(graph))
@@ -131,23 +131,62 @@ def detect_adj_norm(graph: OnnxGraph) -> str:
     """Sniff in-graph adjacency normalisation.
 
     Our exporter (and the published DeepFRI graphs, whose GraphConv consumes
-    the cmap as fed) leave A unnormalised; a ReduceSum→(R)Sqrt chain on the
-    adjacency input marks symmetric normalisation.
+    the cmap as fed) leave A unnormalised. A graph that normalises in-graph
+    computes a degree vector (ReduceSum over the adjacency) and recombines
+    it with A. Detection is structural, not name-based (tf2onnx symbolic
+    dims carry *different* placeholder names on the two adjacency axes, so
+    ``shape[1] == shape[2]`` cannot identify A):
+
+    1. Resolve the adjacency input by role (the rank-3 runtime input that is
+       not the one-hot sequence).
+    2. Flood downstream from every ``ReduceSum(A)`` through elementwise /
+       shape ops, recording what the degree passes through.
+    3. If that flow recombines with A (Mul/Div), the graph normalises:
+       a Sqrt — or a Pow with a ±0.5 exponent — on the path means symmetric
+       (D^-1/2 · A · D^-1/2), otherwise row (D^-1 · A).
     """
-    adj_input = None
-    for vi in graph.inputs:
-        if len(vi.shape) == 3 and vi.shape[1] == vi.shape[2]:
-            adj_input = vi.name
-    if adj_input is None:
+    try:
+        roles = graph_input_roles(graph)
+    except ValueError:
         return "none"
-    consumers = [n for n in graph.nodes if adj_input in n.inputs]
-    for node in consumers:
-        if node.op_type == "ReduceSum":
-            ops = {n.op_type for n in graph.nodes}
-            if "Sqrt" in ops or "Rsqrt" in ops:
-                return "sym"
-            return "row"
-    return "none"
+    adj = roles.get("A")
+    if adj is None:
+        return "none"
+    reduces = [n for n in graph.nodes
+               if n.op_type == "ReduceSum" and adj in n.inputs]
+    if not reduces:
+        return "none"
+
+    follow = {"Sqrt", "Pow", "Reciprocal", "Div", "Mul", "Max", "Min",
+              "Add", "Sub", "Clip", "Cast", "Unsqueeze", "Squeeze",
+              "Transpose", "Expand", "Where", "Reshape", "Greater"}
+    names = {o for n in reduces for o in n.outputs}
+    sym_evidence = False
+    changed = True
+    while changed:
+        changed = False
+        for node in graph.nodes:
+            if node.op_type not in follow:
+                continue
+            if not any(i in names for i in node.inputs):
+                continue
+            if node.op_type == "Sqrt":
+                sym_evidence = True
+            elif node.op_type == "Pow" and len(node.inputs) > 1:
+                exp = graph.initializers.get(node.inputs[1])
+                if exp is not None and np.allclose(np.abs(exp), 0.5):
+                    sym_evidence = True
+            if not set(node.outputs) <= names:
+                names |= set(node.outputs)
+                changed = True
+
+    recombines = any(
+        node.op_type in ("Mul", "Div") and adj in node.inputs
+        and any(i in names and i != adj for i in node.inputs)
+        for node in graph.nodes)
+    if not recombines:
+        return "none"
+    return "sym" if sym_evidence else "row"
 
 
 def infer_cnn_config(graph: OnnxGraph, n_labels: int,
@@ -198,7 +237,11 @@ def load_model_handle(net_type: str, mode: str, model_path,
     if model_path.endswith(".npz"):
         config, params = load_checkpoint(model_path)
     else:
-        graph = load_onnx(model_path)
+        # Fold exporter noise (Constant nodes, Identity chains, Cast/
+        # Transpose-wrapped weights — the tf2onnx opset-15 pattern of the
+        # published weights, reference weight_convert/convert_models2onnx.py)
+        # before structural inference and weight import.
+        graph = normalize_graph(load_onnx(model_path))
         if net_type == "gcn":
             config = infer_gcn_config(graph, n_labels)
             params = import_gcn_params(graph, config)

@@ -78,8 +78,14 @@ def check_model_parity(net: str, mode: str, model_path, params_json,
     from metagenomic_deepfri_tpu.models.registry import load_model_handle
     from metagenomic_deepfri_tpu.ops.one_hot import seq2onehot
 
+    from metagenomic_deepfri_tpu.models.onnx_import import graph_input_roles
+
     handle = load_model_handle(net, mode, model_path, params_json)
-    executor = OnnxExecutor(load_onnx(str(model_path)))
+    raw_graph = load_onnx(str(model_path))
+    executor = OnnxExecutor(raw_graph)
+    # tf2onnx names runtime inputs after the Keras layers (input_1/...), not
+    # the reference's A/S convention — resolve roles structurally.
+    roles = graph_input_roles(raw_graph)
 
     rng = np.random.default_rng(seed)
     worst = 0.0
@@ -88,12 +94,13 @@ def check_model_parity(net: str, mode: str, model_path, params_json,
             seq, cmap = _random_protein(rng, min_len, max_len)
             S = seq2onehot(seq)[None]
             if net == "gcn":
-                (out,) = executor.run({"A": cmap[None], "S": S})
+                (out,) = executor.run({roles["A"]: cmap[None],
+                                       roles["S"]: S})
                 jax_scores = np.asarray(
                     forward_pass_single(handle.params, handle.config, seq,
                                         cmap))
             else:
-                (out,) = executor.run({"S": S})
+                (out,) = executor.run({roles["S"]: S})
                 jax_scores = np.asarray(
                     forward_pass_single(handle.params, handle.config, seq))
             onnx_scores = out[:, :, 0].reshape(-1)
