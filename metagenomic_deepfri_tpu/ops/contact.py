@@ -120,34 +120,45 @@ def batched_contact_maps(coords: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 _TILE = 256
+_MIN_TILE = 128
 
 
 def contact_map_fused(coords: jnp.ndarray,
                       lengths: jnp.ndarray,
-                      threshold: float = 6.0) -> jnp.ndarray:
-    """Pallas fused contact map; falls back to XLA for unsupported shapes."""
-    B, L, _ = coords.shape
-    if L % _TILE != 0:
-        return batched_contact_maps(coords, lengths, threshold=threshold)
-    return _contact_map_fused_impl(coords, lengths, float(threshold))
+                      threshold: float = 6.0,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Pallas fused contact map for ANY length.
+
+    Lengths that don't divide the tile are padded internally to the next
+    128-multiple and the result sliced back — no silent XLA fallback (the
+    default 128-residue bucket used to abandon the kernel entirely). Padded
+    rows are masked by the length prefetch, so the slice is exact.
+    """
+    return _contact_map_fused_impl(coords, lengths, float(threshold),
+                                   interpret)
 
 
-@partial(jax.jit, static_argnames=("threshold",))
-def _contact_map_fused_impl(coords, lengths, threshold: float):
+@partial(jax.jit, static_argnames=("threshold", "interpret"))
+def _contact_map_fused_impl(coords, lengths, threshold: float,
+                            interpret: bool = False):
     B, L, C = coords.shape
-    pad = jnp.zeros((B, L, 8 - C), dtype=jnp.float32)
-    coords8 = jnp.concatenate([coords.astype(jnp.float32), pad], axis=-1)
+    Lp = -(-L // _MIN_TILE) * _MIN_TILE
+    tile = _TILE if Lp % _TILE == 0 else _MIN_TILE
+    pad = jnp.zeros((B, Lp - L, C), dtype=jnp.float32)
+    coords = jnp.concatenate([coords.astype(jnp.float32), pad], axis=1)
+    coords8 = jnp.concatenate(
+        [coords, jnp.zeros((B, Lp, 8 - C), jnp.float32)], axis=-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, L // _TILE, L // _TILE),
+        grid=(B, Lp // tile, Lp // tile),
         in_specs=[
-            pl.BlockSpec((1, _TILE, 8), lambda b, i, j, *_: (b, i, 0),
+            pl.BlockSpec((1, tile, 8), lambda b, i, j, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE, 8), lambda b, i, j, *_: (b, j, 0),
+            pl.BlockSpec((1, tile, 8), lambda b, i, j, *_: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TILE, _TILE),
+        out_specs=pl.BlockSpec((1, tile, tile),
                                lambda b, i, j, *_: (b, i, j),
                                memory_space=pltpu.VMEM),
     )
@@ -160,18 +171,23 @@ def _contact_map_fused_impl(coords, lengths, threshold: float):
         cols = cols_ref[0]
         # Exact f32 difference form per axis (see _pairwise_sqeuclidean_device
         # for why not the Gram matmul).
-        dist = jnp.zeros((_TILE, _TILE), jnp.float32)
+        dist = jnp.zeros((tile, tile), jnp.float32)
         for k in range(3):
             d = rows[:, k][:, None] - cols[:, k][None, :]
             dist = dist + d * d
         n = lengths_sref[b]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0) + i * _TILE
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1) + j * _TILE
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile), 0) + i * tile
+        col_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile), 1) + j * tile
         valid = (row_ids < n) & (col_ids < n)
-        out_ref[0] = jnp.where(valid & (dist < threshold * threshold), 1.0, 0.0)
+        out_ref[0] = jnp.where(valid & (dist < threshold * threshold),
+                               1.0, 0.0)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel_with_prefetch,
-        out_shape=jax.ShapeDtypeStruct((B, L, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, Lp), jnp.float32),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(lengths.astype(jnp.int32), coords8, coords8)
+    return out[:, :L, :L]

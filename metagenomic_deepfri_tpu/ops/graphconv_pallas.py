@@ -57,6 +57,19 @@ def _choose_tile(L: int) -> int:
     raise ValueError(f"L={L} must be a multiple of 128 for the fused kernel")
 
 
+def _pad_axis(x, axis: int, size: int):
+    """Zero-pad one axis up to ``size`` (no-op when already there)."""
+    if x.shape[axis] == size:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, size - x.shape[axis])
+    return jnp.pad(x, widths)
+
+
+def _round_up(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
 # Channel layout of the kernel-internal packed coords buffer:
 # [0:3] = CA coords, [3] = insertion flag, [4:8] = zero padding.
 _INS_CHANNEL = 3
@@ -122,9 +135,17 @@ def contact_degrees(coords: jnp.ndarray, ins_mask: jnp.ndarray,
                     lengths: jnp.ndarray, threshold: float = 6.0,
                     generated_contacts: int = 2,
                     interpret: bool = False) -> jnp.ndarray:
-    """Row degrees of the masked aligned adjacency: (B, L) float32."""
+    """Row degrees of the masked aligned adjacency: (B, L) float32.
+
+    Any L is accepted: non-128-multiples are zero-padded internally (padded
+    rows are invalidated by the length prefetch, so their degree is 0) and
+    the result sliced back.
+    """
     B, L, C = coords.shape
-    T = _choose_tile(L)
+    Lp = _round_up(L, _LANE)
+    coords = _pad_axis(coords.astype(jnp.float32), 1, Lp)
+    ins_mask = _pad_axis(ins_mask.astype(jnp.float32), 1, Lp)
+    T = _choose_tile(Lp)
     packed = _pack_coords_ins(coords, ins_mask)
 
     def kernel(len_sref, coords_ref, deg_ref):
@@ -147,9 +168,9 @@ def contact_degrees(coords: jnp.ndarray, ins_mask: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, L // T, L // T),
+        grid=(B, Lp // T, Lp // T),
         in_specs=[
-            pl.BlockSpec((1, L, 8), lambda b, i, j, *_: (b, 0, 0),
+            pl.BlockSpec((1, Lp, 8), lambda b, i, j, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, 1), lambda b, i, j, *_: (b, i, 0),
@@ -157,11 +178,11 @@ def contact_degrees(coords: jnp.ndarray, ins_mask: jnp.ndarray,
     )
     deg = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, L, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(lengths.astype(jnp.int32), packed)
-    return deg[..., 0]
+    return deg[:, :L, 0]
 
 
 @partial(jax.jit,
@@ -180,27 +201,23 @@ def graphconv_aggregate(coords: jnp.ndarray, ins_mask: jnp.ndarray,
         ins_mask: (B, L) bool/float insertion positions.
         lengths: (B,) int32.
         xs: (B, L, D) node features (already degree-scaled by the caller for
-            symmetric normalisation). D must be a multiple of 128.
+            symmetric normalisation). Any D/L — non-lane-aligned shapes are
+            zero-padded internally and sliced back.
 
     Returns:
         (B, L, D) float32 aggregated features.
     """
     B, L, C = coords.shape
     D = xs.shape[-1]
-    if D % _LANE != 0:
-        # Mosaic needs lane-aligned feature blocks; small models (tests,
-        # toy configs) fall back to the XLA dense-masked path, which is
-        # mathematically identical.
-        from metagenomic_deepfri_tpu.ops.cmap_align import \
-            aligned_contacts_from_coords
-
-        adj = aligned_contacts_from_coords(
-            coords, ins_mask, lengths, threshold=threshold,
-            generated_contacts=generated_contacts)
-        cdt = jnp.dtype(compute_dtype)
-        return jnp.einsum("bij,bjd->bid", adj.astype(cdt), xs.astype(cdt),
-                          preferred_element_type=jnp.float32)
-    T = _choose_tile(L)
+    # Mosaic needs lane-aligned feature blocks and 128-multiple node tiles;
+    # pad both internally (zero feature columns / invalid rows contribute
+    # exactly zero) and slice back — no silent XLA fallback.
+    Dp = _round_up(D, _LANE)
+    Lp = _round_up(L, _LANE)
+    xs = _pad_axis(_pad_axis(xs, 2, Dp), 1, Lp)
+    coords = _pad_axis(coords.astype(jnp.float32), 1, Lp)
+    ins_mask = _pad_axis(ins_mask.astype(jnp.float32), 1, Lp)
+    T = _choose_tile(Lp)
     packed = _pack_coords_ins(coords, ins_mask)
 
     def kernel(len_sref, coords_ref, xs_ref, out_ref):
@@ -222,34 +239,36 @@ def graphconv_aggregate(coords: jnp.ndarray, ins_mask: jnp.ndarray,
 
         @pl.when(j == 0)
         def _():
-            out_ref[0] = jnp.zeros((T, D), jnp.float32)
+            out_ref[0] = jnp.zeros((T, Dp), jnp.float32)
 
         out_ref[0] += contrib
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, L // T, L // T),
+        grid=(B, Lp // T, Lp // T),
         in_specs=[
-            pl.BlockSpec((1, L, 8), lambda b, i, j, *_: (b, 0, 0),
+            pl.BlockSpec((1, Lp, 8), lambda b, i, j, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b, i, j, *_: (b, j, 0),
+            pl.BlockSpec((1, T, Dp), lambda b, i, j, *_: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, D), lambda b, i, j, *_: (b, i, 0),
+        out_specs=pl.BlockSpec((1, T, Dp), lambda b, i, j, *_: (b, i, 0),
                                memory_space=pltpu.VMEM),
     )
     cost = pl.CostEstimate(
-        flops=2 * B * L * L * (D + 8),
-        bytes_accessed=B * (L * 8 * 4 + (L // T) * L * D * 4 + L * D * 4),
+        flops=2 * B * Lp * Lp * (Dp + 8),
+        bytes_accessed=B * (Lp * 8 * 4 + (Lp // T) * Lp * Dp * 4
+                            + Lp * Dp * 4),
         transcendentals=0,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, Dp), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=cost,
         interpret=interpret,
     )(lengths.astype(jnp.int32), packed, xs)
+    return out[:, :L, :D]
 
 
 def normalized_aggregate(coords, ins_mask, lengths, x,

@@ -77,6 +77,48 @@ class TestAggregate:
                                    rtol=1e-5, atol=1e-4)
 
 
+class TestInternalPadding:
+    """Non-lane-aligned L and D must pad internally, not fall back or raise
+    (the old behavior silently abandoned the kernel for L%256!=0 / D%128!=0)."""
+
+    def test_unaligned_length(self):
+        coords, ins, lengths = _mk_batch(B=2, L=130, seed=4)
+        adj = aligned_contacts_from_coords(coords, ins, lengths)
+        ref = jnp.sum(adj, axis=-1)
+        deg = contact_degrees(coords, ins, lengths, interpret=True)
+        assert deg.shape == (2, 130)
+        np.testing.assert_allclose(np.asarray(deg), np.asarray(ref),
+                                   rtol=0, atol=0)
+
+    def test_unaligned_length_and_features(self):
+        coords, ins, lengths = _mk_batch(B=2, L=96, seed=5)
+        D = 48
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(2, 96, D)).astype(np.float32))
+        adj = aligned_contacts_from_coords(coords, ins, lengths)
+        ref = jnp.einsum("bij,bjd->bid", adj, x,
+                         preferred_element_type=jnp.float32)
+        out = graphconv_aggregate(coords, ins, lengths, x, interpret=True)
+        assert out.shape == (2, 96, 48)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_contact_map_fused_bucket128(self):
+        from metagenomic_deepfri_tpu.ops.contact import (batched_contact_maps,
+                                                         contact_map_fused)
+        rng = np.random.default_rng(9)
+        for L in (128, 130):
+            coords = jnp.asarray(
+                np.cumsum(rng.normal(size=(2, L, 3)), axis=1)
+                .astype(np.float32))
+            lengths = jnp.asarray(np.asarray([L, L - 7], np.int32))
+            ref = batched_contact_maps(coords, lengths)
+            out = contact_map_fused(coords, lengths, interpret=True)
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=0, atol=0)
+
+
 class TestFusedForward:
     def test_matches_dense_forward(self):
         cfg = GCNConfig(n_labels=8, lm_hidden=16, lm_layers=1, embed_dim=128,
