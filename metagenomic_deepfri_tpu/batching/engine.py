@@ -228,7 +228,9 @@ class BatchedPredictor:
         gcn_models: {mode: ModelHandle} for the structure (GCN) networks.
         cnn_models: {mode: ModelHandle} for the sequence-only (CNN) networks.
         buckets: length-bucket boundaries.
-        donate_inputs: reserved for future in-place input reuse.
+        spmm: GraphConv aggregation strategy — 'auto' (per-bucket choice
+            from the measured table in :mod:`.spmm_table`), 'xla', or
+            'pallas'.
     """
 
     def __init__(self,
@@ -239,7 +241,7 @@ class BatchedPredictor:
                  batch_cap: Optional[int] = None,
                  contact_threshold: float = 6.0,
                  generated_contacts: int = 2,
-                 spmm: str = "xla",
+                 spmm: str = "auto",
                  mesh=None):
         self.gcn_models = gcn_models or {}
         self.cnn_models = cnn_models or {}
@@ -260,12 +262,13 @@ class BatchedPredictor:
         self.batch_cap = batch_cap
         self.contact_threshold = float(contact_threshold)
         self.generated_contacts = int(generated_contacts)
-        # 'xla' (dense masked adjacency in HBM; wins on measured single-chip
-        # benchmarks — XLA's fusion is near-optimal at protein scale) or
-        # 'pallas' (fused VMEM-recompute kernel, no HBM adjacency; see
-        # ops/graphconv_pallas.py for the trade-off analysis).
-        if spmm not in ("xla", "pallas"):
-            raise ValueError(f"spmm must be 'xla' or 'pallas', got {spmm!r}")
+        # 'auto' resolves per bucket from the measured table
+        # (batching/spmm_table.py, recorded by `bench.py --matrix`);
+        # 'xla' = dense masked adjacency in HBM, 'pallas' = fused
+        # VMEM-recompute kernel (ops/graphconv_pallas.py).
+        if spmm not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"spmm must be 'auto', 'xla' or 'pallas', got {spmm!r}")
         self.spmm = spmm
         # Optional jax.sharding.Mesh: packed batches shard over its 'data'
         # axis (params replicated), so one engine drives a whole host's
@@ -341,9 +344,17 @@ class BatchedPredictor:
         handle = self.gcn_models[mode]
         thr = self.contact_threshold
         gen = self.generated_contacts
-        use_pallas = self.spmm == "pallas"
+        policy = self.spmm
 
         def fwd(params, coords, tokens, ins_mask, lengths):
+            # Resolved at trace time — tokens.shape[1] is the static bucket
+            # length, so 'auto' picks the measured winner per bucket.
+            from metagenomic_deepfri_tpu.batching.spmm_table import \
+                resolve_spmm
+            use_pallas = resolve_spmm(
+                policy, tokens.shape[1],
+                getattr(handle.config, "compute_dtype", "float32")) \
+                == "pallas"
             if use_pallas:
                 from metagenomic_deepfri_tpu.models.deepfri import \
                     gcn_forward_fused

@@ -1,0 +1,61 @@
+"""Measured per-bucket GraphConv aggregation strategy ('auto' spmm policy).
+
+The engine has two implementations of the A·X aggregation at the heart of
+the GCN (reference's dense per-protein matmul, ``predict.pyx:83-95``):
+
+* ``'xla'`` — materialise the masked dense (B, L, L) adjacency in HBM once
+  per batch and let XLA fuse the three GraphConv contractions;
+* ``'pallas'`` — the fused kernel in :mod:`..ops.graphconv_pallas` that
+  recomputes adjacency tiles in VMEM from O(L) projected coordinates and
+  contracts them immediately (no HBM adjacency traffic).
+
+Which wins depends on the bucket length (the B·L² adjacency footprint) and
+compute dtype. This table records the *measured* winner per
+(bucket, dtype) on real TPU hardware — produced by ``python bench.py
+--matrix`` (see BENCH_MATRIX.json at the repo root for the raw numbers and
+the device they were recorded on). ``spmm='auto'`` (the engine default)
+resolves through it; unknown buckets fall back to the nearest measured one.
+"""
+
+from __future__ import annotations
+
+# (bucket, compute_dtype) -> 'xla' | 'pallas'.
+# Recorded on TPU v5 lite (v5e), 2026-08-19, bench.py --matrix; see
+# BENCH_MATRIX.json. Re-run the matrix after kernel changes.
+AUTO_SPMM_TABLE: dict = {
+    (128, "bfloat16"): "xla",
+    (256, "bfloat16"): "xla",
+    (512, "bfloat16"): "xla",
+    (1024, "bfloat16"): "xla",
+    (2048, "bfloat16"): "xla",
+    (128, "float32"): "xla",
+    (256, "float32"): "xla",
+    (512, "float32"): "xla",
+    (1024, "float32"): "xla",
+    (2048, "float32"): "xla",
+}
+
+
+def resolve_spmm(policy: str, bucket: int, compute_dtype: str) -> str:
+    """Resolve an engine spmm policy to a concrete strategy for one bucket.
+
+    'xla'/'pallas' pass through; 'auto' looks up the measured table,
+    snapping to the nearest recorded bucket for the dtype.
+    """
+    if policy != "auto":
+        return policy
+    import jax
+
+    # The fused kernel is TPU-only (tiled pallas_call); off-TPU 'auto'
+    # always means the portable XLA path. An explicit 'pallas' request
+    # off-TPU is honoured (and fails loudly) rather than silently rewritten.
+    if jax.default_backend() != "tpu":
+        return "xla"
+    key = (int(bucket), str(compute_dtype))
+    if key in AUTO_SPMM_TABLE:
+        return AUTO_SPMM_TABLE[key]
+    candidates = [b for (b, d) in AUTO_SPMM_TABLE if d == compute_dtype]
+    if not candidates:
+        return "xla"
+    nearest = min(candidates, key=lambda b: abs(b - int(bucket)))
+    return AUTO_SPMM_TABLE[(nearest, str(compute_dtype))]

@@ -435,21 +435,31 @@ def merge_results(shard_dirs, output):
               help="Random proteins per model.")
 @click.option("--tolerance", default=1e-4, type=float, show_default=True,
               help="Max allowed abs score difference JAX vs ONNX.")
+@click.option("--logit-tolerance", default=None, type=float,
+              help="Max allowed abs PRE-softmax logit difference "
+                   "(defaults to --tolerance); the sharp oracle.")
+@click.option("--trace", is_flag=True,
+              help="On failure, log a per-stage divergence report "
+                   "(embed/gc*/pooled/fc*/logits) to localise the culprit.")
 @click.option("--seed", default=0, type=int, show_default=True)
-def verify_weights_cmd(weights, n_proteins, tolerance, seed):
+def verify_weights_cmd(weights, n_proteins, tolerance, logit_tolerance,
+                       trace, seed):
     """Check JAX-vs-ONNX numerical parity for every model in a weights dir.
 
     Mirrors the reference's ONNX-vs-TF2 conversion validation
-    (weight_convert/README.md): each imported model's scores must match
-    executing its actual ONNX graph on random proteins.
+    (weight_convert/README.md): each imported model's scores AND pre-softmax
+    logits must match executing its actual ONNX graph on random proteins.
     """
     from metagenomic_deepfri_tpu.parity import verify_weights
 
     results = verify_weights(weights, n_proteins=n_proteins,
-                             tolerance=tolerance, seed=seed)
+                             tolerance=tolerance,
+                             logit_tolerance=logit_tolerance,
+                             seed=seed, trace=trace)
     failed = [r for r in results if not r.ok]
     for r in results:
-        click.echo(f"{r.net}/{r.mode}: max|diff|={r.max_abs_diff:.2e} "
+        click.echo(f"{r.net}/{r.mode}: scores max|diff|={r.max_abs_diff:.2e}"
+                   f" logits max|diff|={r.max_logit_diff:.2e} "
                    f"({'OK' if r.ok else 'FAIL'})")
     if failed:
         raise click.ClickException(

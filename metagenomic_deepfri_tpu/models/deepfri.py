@@ -57,6 +57,7 @@ class GCNConfig:
     gc_dims: Tuple[int, ...] = (512, 512, 512)
     fc_dims: Tuple[int, ...] = (1024,)
     adj_norm: str = "sym"          # 'sym' | 'row' | 'none'
+    pool: str = "sum"              # 'sum' | 'mean' over the length axis
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
 
 
@@ -90,7 +91,15 @@ def _dense(p, x):
     return y
 
 
-def init_gcn(key, config: GCNConfig) -> dict:
+def init_gcn(key, config: GCNConfig, *, gc_bias: bool = False,
+             lm_embed_bias: bool = False) -> dict:
+    """Random GCN parameter tree.
+
+    ``gc_bias`` / ``lm_embed_bias`` add the *optional* bias terms some Keras
+    exports carry on the GraphConv layers and the LM embedding; the published
+    DeepFRI architecture is bias-free there, but the ONNX importer consumes
+    such biases when a graph has them, so tests can exercise both forms.
+    """
     keys = jax.random.split(key, 8 + len(config.gc_dims) + len(config.fc_dims))
     ki = iter(keys)
     lm_out = config.lm_hidden * (2 if config.lm_bidirectional else 1)
@@ -99,7 +108,7 @@ def init_gcn(key, config: GCNConfig) -> dict:
                               config.lm_layers,
                               bidirectional=config.lm_bidirectional),
         "lm_embed": _dense_init(next(ki), lm_out, config.embed_dim,
-                                bias=False),
+                                bias=lm_embed_bias),
         "aa_embed": _dense_init(next(ki), config.vocab, config.embed_dim,
                                 bias=True),
         "gc": [],
@@ -107,7 +116,7 @@ def init_gcn(key, config: GCNConfig) -> dict:
     }
     in_dim = config.embed_dim
     for d in config.gc_dims:
-        params["gc"].append(_dense_init(next(ki), in_dim, d, bias=False))
+        params["gc"].append(_dense_init(next(ki), in_dim, d, bias=gc_bias))
         in_dim = d
     concat_dim = sum(config.gc_dims)
     in_dim = concat_dim
@@ -174,11 +183,39 @@ def _head_scores(head_params, x, n_labels: int) -> jnp.ndarray:
     return probs[..., 0]
 
 
+def graphconv_apply(layer: dict, agg: jnp.ndarray, dtype) -> jnp.ndarray:
+    """relu(agg · W [+ b]) — one GraphConv layer after the A·H aggregation.
+
+    The published DeepFRI GraphConv is bias-free, but the importer preserves
+    a bias when an ONNX graph carries one; padded rows are re-masked at pool
+    time, so a bias never leaks into the pooled feature.
+    """
+    h = agg @ layer["kernel"].astype(dtype)
+    if "bias" in layer:
+        h = h + layer["bias"].astype(dtype)
+    return jax.nn.relu(h)
+
+
+def _pool_over_length(concat: jnp.ndarray, valid: jnp.ndarray,
+                      lengths: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Masked sum- or mean-pool of (B, L, C) over L."""
+    pooled = jnp.sum(concat * valid[:, :, None], axis=1)
+    if mode == "mean":
+        denom = jnp.maximum(lengths, 1).astype(pooled.dtype)
+        pooled = pooled / denom[:, None]
+    elif mode != "sum":
+        raise ValueError(f"Unknown pooling mode: {mode}")
+    return pooled
+
+
 def _gcn_trunk(params: dict, config: GCNConfig, tokens: jnp.ndarray,
-               adjacency: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+               adjacency: jnp.ndarray, lengths: jnp.ndarray,
+               stages: dict | None = None) -> jnp.ndarray:
     """Shared GCN trunk: one-hot → LM branch → GraphConv stack → pooled FC.
 
     Returns the (B, fc_dims[-1]) feature tensor fed to the per-term head.
+    ``stages`` (if given) collects named intermediates for per-stage parity
+    localisation against the ONNX oracle.
     """
     dtype = jnp.dtype(config.compute_dtype)
     onehot = tokens2onehot(tokens, dtype=jnp.float32)
@@ -193,6 +230,8 @@ def _gcn_trunk(params: dict, config: GCNConfig, tokens: jnp.ndarray,
                                 compute_dtype=dtype)
     x = _dense(params["lm_embed"], lm_out) + _dense(params["aa_embed"], onehot)
     x = jax.nn.relu(x).astype(dtype)
+    if stages is not None:
+        stages["embed"] = x
 
     adj = normalize_adjacency(adjacency.astype(jnp.float32),
                               config.adj_norm).astype(dtype)
@@ -200,20 +239,26 @@ def _gcn_trunk(params: dict, config: GCNConfig, tokens: jnp.ndarray,
     # GraphConv stack; every layer's output contributes to the concat
     # (DeepFRI's GCNN_concatenate pattern).
     gc_outputs = []
-    for layer in params["gc"]:
+    for gi, layer in enumerate(params["gc"]):
         agg = jnp.einsum("bij,bjd->bid", adj, x,
                          preferred_element_type=jnp.float32)
-        x = jax.nn.relu(agg @ layer["kernel"].astype(dtype))
+        x = graphconv_apply(layer, agg, dtype)
         gc_outputs.append(x)
+        if stages is not None:
+            stages[f"gc{gi}"] = x
     concat = jnp.concatenate(gc_outputs, axis=-1).astype(jnp.float32)
 
-    # Padded rows are exactly zero (zero adjacency rows → relu(0) = 0), so a
-    # plain sum-pool over L is already mask-correct; multiply anyway for
-    # numerical hygiene under bf16.
-    pooled = jnp.sum(concat * valid[:, :, None], axis=1)
+    # Padded rows are exactly zero (zero adjacency rows → relu(0) = 0) unless
+    # a GraphConv bias shifted them, so pooling always re-masks to valid
+    # positions.
+    pooled = _pool_over_length(concat, valid, lengths, config.pool)
+    if stages is not None:
+        stages["pooled"] = pooled
 
-    for layer in params["fc"]:
+    for fi, layer in enumerate(params["fc"]):
         pooled = jax.nn.relu(_dense(layer, pooled))
+        if stages is not None:
+            stages[f"fc{fi}"] = pooled
     return pooled
 
 
@@ -246,6 +291,24 @@ def gcn_forward_logits(params: dict, config: GCNConfig, tokens: jnp.ndarray,
     pooled = _gcn_trunk(params, config, tokens, adjacency, lengths)
     logits = _dense(params["head"], pooled)
     return logits.reshape(*logits.shape[:-1], config.n_labels, 2)
+
+
+def gcn_forward_stages(params: dict, config: GCNConfig, tokens: jnp.ndarray,
+                       adjacency: jnp.ndarray, lengths: jnp.ndarray) -> dict:
+    """Batched GCN forward returning every named stage for parity debugging.
+
+    Keys: ``embed``, ``gc0..gcN``, ``pooled``, ``fc0..fcM``, ``logits``
+    ((B, n_labels, 2) pre-softmax), ``scores``. Stage names line up with
+    :func:`..onnx_import.gcn_stage_tensors` so a JAX-vs-ONNX divergence can
+    be pinned to the first disagreeing stage.
+    """
+    stages: dict = {}
+    pooled = _gcn_trunk(params, config, tokens, adjacency, lengths,
+                        stages=stages)
+    logits = _dense(params["head"], pooled)
+    stages["logits"] = logits.reshape(*logits.shape[:-1], config.n_labels, 2)
+    stages["scores"] = jax.nn.softmax(stages["logits"], axis=-1)[..., 0]
+    return stages
 
 
 def gcn_forward_fused(params: dict, config: GCNConfig, tokens: jnp.ndarray,
@@ -285,19 +348,19 @@ def gcn_forward_fused(params: dict, config: GCNConfig, tokens: jnp.ndarray,
             threshold=threshold, generated_contacts=generated_contacts,
             adj_norm=config.adj_norm, interpret=interpret, degrees=degrees,
             compute_dtype=config.compute_dtype)
-        x = jax.nn.relu(agg.astype(dtype) @ layer["kernel"].astype(dtype))
+        x = graphconv_apply(layer, agg.astype(dtype), dtype)
         gc_outputs.append(x)
     concat = jnp.concatenate(gc_outputs, axis=-1).astype(jnp.float32)
-    pooled = jnp.sum(concat * valid[:, :, None], axis=1)
+    pooled = _pool_over_length(concat, valid, lengths, config.pool)
 
     for layer in params["fc"]:
         pooled = jax.nn.relu(_dense(layer, pooled))
     return _head_scores(params["head"], pooled, config.n_labels)
 
 
-def cnn_forward(params: dict, config: CNNConfig, tokens: jnp.ndarray,
-                lengths: jnp.ndarray) -> jnp.ndarray:
-    """Batched sequence-only CNN forward → (B, n_labels) scores.
+def _cnn_trunk(params: dict, config: CNNConfig, tokens: jnp.ndarray,
+               lengths: jnp.ndarray, stages: dict | None = None):
+    """Conv branches → masked global max-pool → FC stack.
 
     Zeroing padded one-hot rows makes 'SAME' convolution over a padded batch
     bit-identical (on valid positions) to the reference's unpadded per-protein
@@ -322,10 +385,41 @@ def cnn_forward(params: dict, config: CNNConfig, tokens: jnp.ndarray,
     x = jnp.where(valid[:, :, None], x, neg_inf)
     pooled = jnp.max(x, axis=1)
     pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+    if stages is not None:
+        stages["pooled"] = pooled
 
-    for layer in params["fc"]:
+    for fi, layer in enumerate(params["fc"]):
         pooled = jax.nn.relu(_dense(layer, pooled))
+        if stages is not None:
+            stages[f"fc{fi}"] = pooled
+    return pooled
+
+
+def cnn_forward(params: dict, config: CNNConfig, tokens: jnp.ndarray,
+                lengths: jnp.ndarray) -> jnp.ndarray:
+    """Batched sequence-only CNN forward → (B, n_labels) scores."""
+    pooled = _cnn_trunk(params, config, tokens, lengths)
     return _head_scores(params["head"], pooled, config.n_labels)
+
+
+def cnn_forward_logits(params: dict, config: CNNConfig, tokens: jnp.ndarray,
+                       lengths: jnp.ndarray) -> jnp.ndarray:
+    """Batched CNN forward returning (B, n_labels, 2) pre-softmax logits."""
+    pooled = _cnn_trunk(params, config, tokens, lengths)
+    logits = _dense(params["head"], pooled)
+    return logits.reshape(*logits.shape[:-1], config.n_labels, 2)
+
+
+def cnn_forward_stages(params: dict, config: CNNConfig, tokens: jnp.ndarray,
+                       lengths: jnp.ndarray) -> dict:
+    """Named CNN stages (``pooled``, ``fc*``, ``logits``, ``scores``) for
+    parity localisation — see :func:`gcn_forward_stages`."""
+    stages: dict = {}
+    pooled = _cnn_trunk(params, config, tokens, lengths, stages=stages)
+    logits = _dense(params["head"], pooled)
+    stages["logits"] = logits.reshape(*logits.shape[:-1], config.n_labels, 2)
+    stages["scores"] = jax.nn.softmax(stages["logits"], axis=-1)[..., 0]
+    return stages
 
 
 # ---------------------------------------------------------------------------
@@ -352,3 +446,23 @@ def forward_pass_single(params: dict, config, seqres: str,
     else:
         scores = cnn_forward(params, config, tokens, lengths)
     return scores.reshape(-1)
+
+
+def forward_stages_single(params: dict, config, seqres: str,
+                          cmap=None) -> dict:
+    """Per-protein staged forward (GCN when ``cmap`` given, else CNN).
+
+    Returns the named-stage dict of :func:`gcn_forward_stages` /
+    :func:`cnn_forward_stages` for a single protein — the JAX side of the
+    per-stage parity localiser in :mod:`metagenomic_deepfri_tpu.parity`.
+    """
+    import numpy as np
+
+    from metagenomic_deepfri_tpu.ops.one_hot import seq2tokens
+
+    tokens = jnp.asarray(seq2tokens(seqres)[None, :])
+    lengths = jnp.asarray(np.array([len(seqres)], np.int32))
+    if cmap is not None:
+        adj = jnp.asarray(np.asarray(cmap, np.float32)[None])
+        return gcn_forward_stages(params, config, tokens, adj, lengths)
+    return cnn_forward_stages(params, config, tokens, lengths)

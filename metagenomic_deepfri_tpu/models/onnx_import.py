@@ -120,18 +120,89 @@ def _lstm_tensor(graph: OnnxGraph, name: str, what: str) -> np.ndarray:
         f"normalize_graph() on the graph before importing weights")
 
 
+def _producer_map(graph: OnnxGraph) -> dict:
+    return {out: node for node in graph.nodes for out in node.outputs if out}
+
+
+def _consumer_map(graph: OnnxGraph) -> dict:
+    consumers: dict[str, list[OnnxNode]] = {}
+    for node in graph.nodes:
+        for i in node.inputs:
+            if i:
+                consumers.setdefault(i, []).append(node)
+    return consumers
+
+
+# Layout-only ops a tensor can be traced through without changing identity
+# for structural matching purposes.
+_LAYOUT_OPS = frozenset({"Squeeze", "Unsqueeze", "Transpose", "Identity",
+                         "Reshape"})
+
+
+def _canon(producers: dict, tensor: str) -> str:
+    """Trace a tensor back through layout-only ops to a canonical source."""
+    seen = set()
+    while tensor in producers and tensor not in seen:
+        seen.add(tensor)
+        node = producers[tensor]
+        if node.op_type not in _LAYOUT_OPS:
+            break
+        tensor = node.inputs[0]
+    return tensor
+
+
+def _revseq_source(producers: dict, tensor: str):
+    """If ``tensor`` is (through layout ops) the ReverseSequence of another
+    tensor, return that source canonicalised; else None."""
+    seen = set()
+    while tensor in producers and tensor not in seen:
+        seen.add(tensor)
+        node = producers[tensor]
+        if node.op_type == "ReverseSequence":
+            return _canon(producers, node.inputs[0])
+        if node.op_type not in _LAYOUT_OPS:
+            return None
+        tensor = node.inputs[0]
+    return None
+
+
+def _flows_into_reverse(consumers: dict, tensor: str) -> bool:
+    """True if the tensor reaches a ReverseSequence through layout ops."""
+    stack, seen = [tensor], set()
+    while stack:
+        t = stack.pop()
+        if t in seen:
+            continue
+        seen.add(t)
+        for node in consumers.get(t, []):
+            if node.op_type == "ReverseSequence":
+                return True
+            if node.op_type in _LAYOUT_OPS:
+                stack.extend(node.outputs)
+    return False
+
+
 def collect_lstm_layers(graph: OnnxGraph) -> list:
     """Group a graph's LSTM nodes into model layers as (W, R, B) triples.
 
-    tf2onnx exports a Keras ``Bidirectional(LSTM)`` either as ONE node with
-    ``direction='bidirectional'`` or as TWO unidirectional nodes — a
-    ``forward`` and a ``reverse`` one reading the same input, concatenated
-    downstream. The pair form is merged here into a single bidirectional
-    layer with W/R/B stacked on the num_directions axis (ONNX order:
-    forward = 0, reverse = 1), so the importer sees one layer either way.
-    Call on a :func:`normalize_graph`-ed graph (weights must be
-    initializers).
+    tf2onnx exports a Keras ``Bidirectional(LSTM)`` in one of three forms:
+
+    1. ONE node with ``direction='bidirectional'``;
+    2. TWO unidirectional nodes — a ``forward`` and a ``reverse`` one reading
+       the same input, concatenated downstream;
+    3. TWO ``forward`` nodes where the backward branch wraps its mate's input
+       in a ``ReverseSequence`` and re-reverses its own output (the exporter's
+       alternative lowering of the Keras backward layer).
+
+    Forms 2 and 3 are merged here into a single bidirectional layer with
+    W/R/B stacked on the num_directions axis (ONNX order: forward = 0,
+    reverse = 1) — for form 3 the re-reversed branch becomes direction 1
+    unchanged, since ONNX reverse direction *is* forward-on-reversed-input
+    with outputs stored at original positions. Call on a
+    :func:`normalize_graph`-ed graph (weights must be initializers).
     """
+    producers = _producer_map(graph)
+    consumers = _consumer_map(graph)
     entries = []
     for node in graph.nodes:
         if node.op_type != "LSTM":
@@ -144,8 +215,12 @@ def collect_lstm_layers(graph: OnnxGraph) -> list:
         B = (_lstm_tensor(graph, node.inputs[3], "B")
              if len(node.inputs) > 3 and node.inputs[3]
              else np.zeros((W.shape[0], 8 * R.shape[-1]), np.float32))
-        entries.append({"x": node.inputs[0], "dir": d, "W": W, "R": R,
-                        "B": B})
+        entries.append({
+            "x": node.inputs[0], "dir": d, "W": W, "R": R, "B": B,
+            "xc": _canon(producers, node.inputs[0]),
+            "rev_of": _revseq_source(producers, node.inputs[0]),
+            "rereversed": _flows_into_reverse(consumers, node.outputs[0]),
+        })
     layers = []
     used = [False] * len(entries)
     for i, e in enumerate(entries):
@@ -156,20 +231,31 @@ def collect_lstm_layers(graph: OnnxGraph) -> list:
             layers.append((e["W"], e["R"], e["B"]))
             continue
         mate = None
-        for j in range(i + 1, len(entries)):
-            if used[j]:
+        e_is_fwd = True
+        for j, m in enumerate(entries):
+            if used[j] or j == i or m["W"].shape[0] != 1:
                 continue
-            m = entries[j]
-            if (m["x"] == e["x"] and m["W"].shape[0] == 1
+            if (m["xc"] == e["xc"]
                     and {e["dir"], m["dir"]} == {"forward", "reverse"}):
-                mate = j
+                mate, e_is_fwd = j, e["dir"] == "forward"
                 break
+            if e["dir"] == "forward" and m["dir"] == "forward":
+                # ReverseSequence lowering: the backward mate reads the
+                # reversed input and re-reverses its output.
+                if (m["rev_of"] is not None and m["rev_of"] == e["xc"]
+                        and e["rev_of"] is None and m["rereversed"]):
+                    mate, e_is_fwd = j, True
+                    break
+                if (e["rev_of"] is not None and e["rev_of"] == m["xc"]
+                        and m["rev_of"] is None and e["rereversed"]):
+                    mate, e_is_fwd = j, False
+                    break
         if mate is None:
             layers.append((e["W"], e["R"], e["B"]))
             continue
         used[mate] = True
         m = entries[mate]
-        fwd, bwd = (e, m) if e["dir"] == "forward" else (m, e)
+        fwd, bwd = (e, m) if e_is_fwd else (m, e)
         layers.append((np.concatenate([fwd["W"], bwd["W"]], axis=0),
                        np.concatenate([fwd["R"], bwd["R"]], axis=0),
                        np.concatenate([fwd["B"], bwd["B"]], axis=0)))
@@ -609,16 +695,26 @@ def export_gcn_to_onnx(params: dict, config: GCNConfig, path: str):
     nodes.append(OnnxNode("Transpose", [prev], ["lm_out"], "transpose_out",
                           {"perm": [1, 0, 2]}))
 
-    init["lm_embed_k"] = np.asarray(params["lm_embed"]["kernel"], np.float32)
-    nodes.append(OnnxNode("MatMul", ["lm_out", "lm_embed_k"], ["x_lm"],
-                          "LM_embedding"))
-    init["aa_embed_k"] = np.asarray(params["aa_embed"]["kernel"], np.float32)
-    init["aa_embed_b"] = np.asarray(params["aa_embed"]["bias"], np.float32)
-    nodes.append(OnnxNode("MatMul", ["S", "aa_embed_k"], ["x_aa0"],
-                          "AA_embedding"))
-    nodes.append(OnnxNode("Add", ["x_aa0", "aa_embed_b"], ["x_aa"],
-                          "AA_bias"))
-    nodes.append(OnnxNode("Add", ["x_lm", "x_aa"], ["embed_sum"], "Embedding"))
+    def dense(prefix, layer, x, relu):
+        """MatMul + optional bias Add (+ optional Relu); returns out name."""
+        init[f"{prefix}_k"] = np.asarray(layer["kernel"], np.float32)
+        nodes.append(OnnxNode("MatMul", [x, f"{prefix}_k"],
+                              [f"{prefix}_lin"], prefix))
+        cur = f"{prefix}_lin"
+        if "bias" in layer:
+            init[f"{prefix}_b"] = np.asarray(layer["bias"], np.float32)
+            nodes.append(OnnxNode("Add", [cur, f"{prefix}_b"],
+                                  [f"{prefix}_biased"], f"{prefix}_bias"))
+            cur = f"{prefix}_biased"
+        if relu:
+            nodes.append(OnnxNode("Relu", [cur], [f"{prefix}_out"],
+                                  f"{prefix}_relu"))
+            cur = f"{prefix}_out"
+        return cur
+
+    x_lm = dense("lm_embed", params["lm_embed"], "lm_out", relu=False)
+    x_aa = dense("aa_embed", params["aa_embed"], "S", relu=False)
+    nodes.append(OnnxNode("Add", [x_lm, x_aa], ["embed_sum"], "Embedding"))
     nodes.append(OnnxNode("Relu", ["embed_sum"], ["h0"],
                           "Embedding_activation"))
 
@@ -626,40 +722,25 @@ def export_gcn_to_onnx(params: dict, config: GCNConfig, path: str):
     prev = "h0"
     concat_inputs = []
     for gi, layer in enumerate(params["gc"]):
-        init[f"gc{gi}_k"] = np.asarray(layer["kernel"], np.float32)
         nodes.append(OnnxNode("MatMul", ["A", prev], [f"gc{gi}_agg"],
                               f"GCNN_agg_{gi + 1}"))
-        nodes.append(OnnxNode("MatMul", [f"gc{gi}_agg", f"gc{gi}_k"],
-                              [f"gc{gi}_lin"], f"GCNN_lin_{gi + 1}"))
-        nodes.append(OnnxNode("Relu", [f"gc{gi}_lin"], [f"gc{gi}_out"],
-                              f"GCNN_layer_{gi + 1}"))
-        concat_inputs.append(f"gc{gi}_out")
-        prev = f"gc{gi}_out"
+        prev = dense(f"gc{gi}", layer, f"gc{gi}_agg", relu=True)
+        concat_inputs.append(prev)
     nodes.append(OnnxNode("Concat", concat_inputs, ["gc_concat"],
                           "GCNN_concatenate", {"axis": -1}))
 
     # --- pool + head ---
     init["pool_axes"] = np.asarray([1], np.int64)
-    nodes.append(OnnxNode("ReduceSum", ["gc_concat", "pool_axes"], ["pooled"],
-                          "SumPooling", {"keepdims": 0}))
+    pool_op = "ReduceMean" if getattr(config, "pool", "sum") == "mean" \
+        else "ReduceSum"
+    nodes.append(OnnxNode(pool_op, ["gc_concat", "pool_axes"], ["pooled"],
+                          "Pooling", {"keepdims": 0}))
     prev = "pooled"
     for fi, layer in enumerate(params["fc"]):
-        init[f"fc{fi}_k"] = np.asarray(layer["kernel"], np.float32)
-        init[f"fc{fi}_b"] = np.asarray(layer["bias"], np.float32)
-        nodes.append(OnnxNode("MatMul", [prev, f"fc{fi}_k"], [f"fc{fi}_lin"],
-                              f"fc{fi}"))
-        nodes.append(OnnxNode("Add", [f"fc{fi}_lin", f"fc{fi}_b"],
-                              [f"fc{fi}_biased"], f"fc{fi}_bias"))
-        nodes.append(OnnxNode("Relu", [f"fc{fi}_biased"], [f"fc{fi}_out"],
-                              f"fc{fi}_relu"))
-        prev = f"fc{fi}_out"
-    init["head_k"] = np.asarray(params["head"]["kernel"], np.float32)
-    init["head_b"] = np.asarray(params["head"]["bias"], np.float32)
-    nodes.append(OnnxNode("MatMul", [prev, "head_k"], ["head_lin"], "head"))
-    nodes.append(OnnxNode("Add", ["head_lin", "head_b"], ["head_biased"],
-                          "head_bias"))
+        prev = dense(f"fc{fi}", layer, prev, relu=True)
+    head_out = dense("head", params["head"], prev, relu=False)
     init["out_shape"] = np.asarray([-1, config.n_labels, 2], np.int64)
-    nodes.append(OnnxNode("Reshape", ["head_biased", "out_shape"],
+    nodes.append(OnnxNode("Reshape", [head_out, "out_shape"],
                           ["head_reshaped"], "head_reshape"))
     nodes.append(OnnxNode("Softmax", ["head_reshaped"], ["labels"],
                           "head_softmax", {"axis": -1}))
@@ -696,24 +777,28 @@ def export_cnn_to_onnx(params: dict, config: CNNConfig, path: str):
     init["sq_axes"] = np.asarray([2], np.int64)
     nodes.append(OnnxNode("Squeeze", ["pool_ncw", "sq_axes"], ["pooled"],
                           "pool_squeeze"))
+    def dense(prefix, layer, x, relu):
+        init[f"{prefix}_k"] = np.asarray(layer["kernel"], np.float32)
+        nodes.append(OnnxNode("MatMul", [x, f"{prefix}_k"],
+                              [f"{prefix}_lin"], prefix))
+        cur = f"{prefix}_lin"
+        if "bias" in layer:
+            init[f"{prefix}_b"] = np.asarray(layer["bias"], np.float32)
+            nodes.append(OnnxNode("Add", [cur, f"{prefix}_b"],
+                                  [f"{prefix}_biased"], f"{prefix}_bias"))
+            cur = f"{prefix}_biased"
+        if relu:
+            nodes.append(OnnxNode("Relu", [cur], [f"{prefix}_out"],
+                                  f"{prefix}_relu"))
+            cur = f"{prefix}_out"
+        return cur
+
     prev = "pooled"
     for fi, layer in enumerate(params["fc"]):
-        init[f"fc{fi}_k"] = np.asarray(layer["kernel"], np.float32)
-        init[f"fc{fi}_b"] = np.asarray(layer["bias"], np.float32)
-        nodes.append(OnnxNode("MatMul", [prev, f"fc{fi}_k"], [f"fc{fi}_lin"],
-                              f"fc{fi}"))
-        nodes.append(OnnxNode("Add", [f"fc{fi}_lin", f"fc{fi}_b"],
-                              [f"fc{fi}_biased"], f"fc{fi}_bias"))
-        nodes.append(OnnxNode("Relu", [f"fc{fi}_biased"], [f"fc{fi}_out"],
-                              f"fc{fi}_relu"))
-        prev = f"fc{fi}_out"
-    init["head_k"] = np.asarray(params["head"]["kernel"], np.float32)
-    init["head_b"] = np.asarray(params["head"]["bias"], np.float32)
-    nodes.append(OnnxNode("MatMul", [prev, "head_k"], ["head_lin"], "head"))
-    nodes.append(OnnxNode("Add", ["head_lin", "head_b"], ["head_biased"],
-                          "head_bias"))
+        prev = dense(f"fc{fi}", layer, prev, relu=True)
+    head_out = dense("head", params["head"], prev, relu=False)
     init["out_shape"] = np.asarray([-1, config.n_labels, 2], np.int64)
-    nodes.append(OnnxNode("Reshape", ["head_biased", "out_shape"],
+    nodes.append(OnnxNode("Reshape", [head_out, "out_shape"],
                           ["head_reshaped"], "head_reshape"))
     nodes.append(OnnxNode("Softmax", ["head_reshaped"], ["labels"],
                           "head_softmax", {"axis": -1}))
@@ -728,13 +813,11 @@ def export_cnn_to_onnx(params: dict, config: CNNConfig, path: str):
 # ---------------------------------------------------------------------------
 
 def _topo_matmul_weights(graph: OnnxGraph):
-    """(node, weight, bias|None) for every MatMul/Gemm with an initializer
-    weight, in graph order; bias found by following the output into an Add
-    with a 1-D initializer."""
-    consumers: dict[str, list[OnnxNode]] = {}
-    for node in graph.nodes:
-        for i in node.inputs:
-            consumers.setdefault(i, []).append(node)
+    """(node, weight, bias|None, bias_name|None) for every MatMul/Gemm with
+    an initializer weight, in graph order; bias found from Gemm input C or by
+    following the output into an Add with a 1-D initializer. Weights are
+    oriented to dataflow (in, out) relative to the data operand."""
+    consumers = _consumer_map(graph)
     out = []
     for node in graph.nodes:
         if node.op_type not in ("MatMul", "Gemm"):
@@ -746,18 +829,25 @@ def _topo_matmul_weights(graph: OnnxGraph):
                 # Orient Gemm weights to dataflow (in, out): tf2onnx stores
                 # Keras Dense kernels transposed behind transB=1 (and a
                 # square kernel can't be disambiguated by shape alone).
+                # When the weight is input A (y = op(A) @ x), (in, out)
+                # relative to the data operand is op(A).T — i.e. transpose
+                # exactly when transA is NOT set.
                 if node.op_type == "Gemm":
-                    trans = node.attributes.get(
-                        "transB" if pos == 1 else "transA", 0)
-                    if trans:
-                        weight = weight.T
+                    if pos == 1:
+                        if node.attributes.get("transB", 0):
+                            weight = weight.T
+                    else:
+                        if not node.attributes.get("transA", 0):
+                            weight = weight.T
         if weight is None:
             continue
         bias = None
+        bias_name = None
         if node.op_type == "Gemm" and len(node.inputs) > 2:
             b = node.inputs[2]
             if b in graph.initializers:
                 bias = np.asarray(graph.initializers[b], np.float32)
+                bias_name = b
         else:
             for consumer in consumers.get(node.outputs[0], []):
                 if consumer.op_type == "Add":
@@ -766,30 +856,81 @@ def _topo_matmul_weights(graph: OnnxGraph):
                                 and graph.initializers[i].ndim == 1):
                             bias = np.asarray(graph.initializers[i],
                                               np.float32)
-        out.append((node, weight, bias))
+                            bias_name = i
+        out.append((node, weight, bias, bias_name))
     return out
 
 
 def _take_matmul(entries, in_dim, out_dim, what):
-    for idx, (node, w, b) in enumerate(entries):
+    """Pop the first entry matching (in, out) [or its transpose]; returns
+    (weight, bias|None, bias_name|None)."""
+    for idx, (node, w, b, bn) in enumerate(entries):
         if w.shape == (in_dim, out_dim):
             entries.pop(idx)
-            return w, b
+            return w, b, bn
         if w.shape == (out_dim, in_dim) and in_dim != out_dim:
             entries.pop(idx)
-            return w.T, b
+            return w.T, b, bn
     raise ValueError(
         f"Could not locate {what} weight of shape ({in_dim}, {out_dim}) "
         f"in ONNX graph; remaining shapes: "
         f"{[e[1].shape for e in entries]}")
 
 
+def _assert_biases_consumed(graph: OnnxGraph, consumed: set):
+    """Raise if any initializer-backed bias in the dataflow was not mapped
+    onto the parameter tree.
+
+    A "bias" is a 1-D float initializer feeding an Add whose other operand is
+    computed (or a Gemm C input). Silently zero-filling or discarding such a
+    term would import real weights wrong and surface only as a downstream
+    parity failure — fail loudly at import instead.
+    """
+    leftovers = []
+    for node in graph.nodes:
+        if node.op_type == "Add":
+            inits = [i for i in node.inputs
+                     if i in graph.initializers
+                     and graph.initializers[i].ndim == 1
+                     and np.issubdtype(
+                         np.asarray(graph.initializers[i]).dtype,
+                         np.floating)]
+            others = [i for i in node.inputs if i not in graph.initializers]
+            if len(inits) == 1 and others and inits[0] not in consumed:
+                leftovers.append((node.name, inits[0],
+                                  graph.initializers[inits[0]].shape))
+        elif node.op_type == "Gemm" and len(node.inputs) > 2:
+            c = node.inputs[2]
+            if (c in graph.initializers and graph.initializers[c].ndim == 1
+                    and c not in consumed):
+                leftovers.append((node.name, c, graph.initializers[c].shape))
+    if leftovers:
+        detail = ", ".join(f"node {n!r} adds initializer {i!r} shape {s}"
+                           for n, i, s in leftovers)
+        raise ValueError(
+            f"ONNX graph carries bias terms the importer did not consume: "
+            f"{detail}. Refusing to import with silently dropped "
+            f"parameters — the graph structure does not match the supported "
+            f"DeepFRI layer layout (inspect with verify-weights --trace).")
+
+
+def _layer_dict(kernel, bias) -> dict:
+    layer = {"kernel": jnp.asarray(kernel)}
+    if bias is not None:
+        layer["bias"] = jnp.asarray(bias)
+    return layer
+
+
 def import_gcn_params(graph: OnnxGraph, config: GCNConfig) -> dict:
     """Map a DeepFRI GCN ONNX graph onto our parameter tree.
 
     LSTM layers are matched in graph order; dense weights by expected shape
-    in topological order (see module docstring for caveats on exporter
-    naming — matching is structural, not name-based).
+    in topological order (matching is structural, not name-based). Biases
+    are *bias-complete*: every layer's bias found in the graph — including
+    GraphConv and LM-embedding biases the published architecture doesn't
+    have — is consumed into the parameter tree; a layer without one gets no
+    bias term (never a silent zero-fill); and import raises if any
+    initializer-backed bias in the dataflow is left unmatched.
     """
     layers = collect_lstm_layers(graph)
     if len(layers) != config.lm_layers:
@@ -799,39 +940,42 @@ def import_gcn_params(graph: OnnxGraph, config: GCNConfig) -> dict:
     lm = [lstm_params_from_onnx(W, R, B) for W, R, B in layers]
 
     entries = _topo_matmul_weights(graph)
+    consumed: set = set()
+
+    def take(in_dim, out_dim, what):
+        w, b, bn = _take_matmul(entries, in_dim, out_dim, what)
+        if bn is not None:
+            consumed.add(bn)
+        return w, b
+
     lm_out = config.lm_hidden * (2 if getattr(config, "lm_bidirectional",
                                               False) else 1)
-    lm_k, _ = _take_matmul(entries, lm_out, config.embed_dim,
-                           "LM embedding")
-    aa_k, aa_b = _take_matmul(entries, config.vocab, config.embed_dim,
-                              "AA embedding")
+    lm_k, lm_b = take(lm_out, config.embed_dim, "LM embedding")
+    aa_k, aa_b = take(config.vocab, config.embed_dim, "AA embedding")
     params = {
         "lm": lm,
-        "lm_embed": {"kernel": jnp.asarray(lm_k)},
-        "aa_embed": {"kernel": jnp.asarray(aa_k),
-                     "bias": jnp.asarray(aa_b if aa_b is not None
-                                         else np.zeros(config.embed_dim,
-                                                       np.float32))},
+        "lm_embed": _layer_dict(lm_k, lm_b),
+        "aa_embed": _layer_dict(aa_k, aa_b),
         "gc": [], "fc": [],
     }
     in_dim = config.embed_dim
     for d in config.gc_dims:
-        k, _ = _take_matmul(entries, in_dim, d, "GraphConv")
-        params["gc"].append({"kernel": jnp.asarray(k)})
+        k, b = take(in_dim, d, "GraphConv")
+        params["gc"].append(_layer_dict(k, b))
         in_dim = d
     in_dim = sum(config.gc_dims)
     for d in config.fc_dims:
-        k, b = _take_matmul(entries, in_dim, d, "FC")
-        params["fc"].append({
-            "kernel": jnp.asarray(k),
-            "bias": jnp.asarray(b if b is not None
-                                else np.zeros(d, np.float32))})
+        k, b = take(in_dim, d, "FC")
+        params["fc"].append(_layer_dict(k, b))
         in_dim = d
-    k, b = _take_matmul(entries, in_dim, 2 * config.n_labels, "head")
-    params["head"] = {"kernel": jnp.asarray(k),
-                      "bias": jnp.asarray(b if b is not None
-                                          else np.zeros(2 * config.n_labels,
-                                                        np.float32))}
+    k, b = take(in_dim, 2 * config.n_labels, "head")
+    params["head"] = _layer_dict(k, b)
+    if entries:
+        raise ValueError(
+            f"ONNX graph contains {len(entries)} dense weight(s) the "
+            f"inferred GCN architecture does not account for (shapes "
+            f"{[e[1].shape for e in entries]}) — refusing a partial import.")
+    _assert_biases_consumed(graph, consumed)
     return params
 
 
@@ -858,20 +1002,187 @@ def import_cnn_params(graph: OnnxGraph, config: CNNConfig) -> dict:
             "bias": jnp.asarray(b)})
 
     entries = _topo_matmul_weights(graph)
+    consumed: set = set()
+
+    def take(in_dim, out_dim, what):
+        w, b, bn = _take_matmul(entries, in_dim, out_dim, what)
+        if bn is not None:
+            consumed.add(bn)
+        return w, b
+
     in_dim = config.conv_filters * len(config.conv_kernels)
     for d in config.fc_dims:
-        k, b = _take_matmul(entries, in_dim, d, "FC")
-        params["fc"].append({
-            "kernel": jnp.asarray(k),
-            "bias": jnp.asarray(b if b is not None
-                                else np.zeros(d, np.float32))})
+        k, b = take(in_dim, d, "FC")
+        params["fc"].append(_layer_dict(k, b))
         in_dim = d
-    k, b = _take_matmul(entries, in_dim, 2 * config.n_labels, "head")
-    params["head"] = {"kernel": jnp.asarray(k),
-                      "bias": jnp.asarray(b if b is not None
-                                          else np.zeros(2 * config.n_labels,
-                                                        np.float32))}
+    k, b = take(in_dim, 2 * config.n_labels, "head")
+    params["head"] = _layer_dict(k, b)
+    if entries:
+        raise ValueError(
+            f"ONNX graph contains {len(entries)} dense weight(s) the "
+            f"inferred CNN architecture does not account for (shapes "
+            f"{[e[1].shape for e in entries]}) — refusing a partial import.")
+    _assert_biases_consumed(graph, consumed)
     return params
+
+
+# ---------------------------------------------------------------------------
+# Structural graph analysis (merge form, pooling mode, stage tensors)
+# ---------------------------------------------------------------------------
+
+def _reduce_axes(node: OnnxNode, graph: OnnxGraph):
+    axes = node.attributes.get("axes")
+    if axes is None and len(node.inputs) > 1 and node.inputs[1]:
+        ini = graph.initializers.get(node.inputs[1])
+        if ini is not None:
+            axes = [int(a) for a in np.asarray(ini).reshape(-1)]
+    return list(axes) if axes is not None else None
+
+
+def detect_embedding_merge(graph: OnnxGraph, vocab: int = 26):
+    """Classify how the LM and residue-embedding branches merge.
+
+    Floods forward from (a) every LSTM output and (b) the output of the
+    MatMul consuming the (vocab, E) residue-embedding kernel; the first node
+    (in graph order) with inputs from both floods is the merge point.
+    Returns its op type lower-cased ('add', 'concat', ...) or None when no
+    merge exists (e.g. a CNN graph).
+    """
+    consumers = _consumer_map(graph)
+
+    def flood(seeds):
+        reach, stack = set(), list(seeds)
+        while stack:
+            t = stack.pop()
+            if t in reach:
+                continue
+            reach.add(t)
+            for node in consumers.get(t, []):
+                stack.extend(o for o in node.outputs if o)
+        return reach
+
+    lstm_seeds = [o for n in graph.nodes if n.op_type == "LSTM"
+                  for o in n.outputs if o]
+    aa_seeds = []
+    for node, w, _b, _bn in _topo_matmul_weights(graph):
+        if w.shape[0] == vocab:
+            aa_seeds.extend(o for o in node.outputs if o)
+    if not lstm_seeds or not aa_seeds:
+        return None
+    lm_reach = flood(lstm_seeds)
+    aa_reach = flood(aa_seeds)
+    for node in graph.nodes:
+        ins = set(node.inputs)
+        if ins & lm_reach and ins & aa_reach and not (ins & lm_reach
+                                                      & aa_reach):
+            return node.op_type.lower()
+    return None
+
+
+def detect_gcn_pool(graph: OnnxGraph) -> str:
+    """'sum' or 'mean' — the Reduce over the length axis that pools the
+    GraphConv concatenation (identified structurally by its Concat feed)."""
+    producers = _producer_map(graph)
+    for node in graph.nodes:
+        if node.op_type not in ("ReduceSum", "ReduceMean"):
+            continue
+        if _reduce_axes(node, graph) != [1]:
+            continue
+        src = producers.get(node.inputs[0])
+        if src is not None and src.op_type == "Concat":
+            return "mean" if node.op_type == "ReduceMean" else "sum"
+    return "sum"
+
+
+def _walk_fc_stages(graph: OnnxGraph, consumers, start: str):
+    """Follow the pooled tensor through the FC stack; yields per-layer
+    post-ReLU tensor names, stopping at the (non-ReLU'd) head."""
+    names = []
+    cur = start
+    while True:
+        mats = [n for n in consumers.get(cur, [])
+                if n.op_type in ("MatMul", "Gemm")]
+        if not mats:
+            break
+        out = mats[0].outputs[0]
+        adds = [n for n in consumers.get(out, []) if n.op_type == "Add"]
+        if adds:
+            out = adds[0].outputs[0]
+        relus = [n for n in consumers.get(out, []) if n.op_type == "Relu"]
+        if not relus:
+            break
+        cur = relus[0].outputs[0]
+        names.append(cur)
+    return names
+
+
+def gcn_stage_tensors(graph: OnnxGraph) -> list:
+    """Ordered [(stage, onnx_tensor_name)] matching the named stages of
+    :func:`..deepfri.gcn_forward_stages`.
+
+    Resolution is structural on a :func:`normalize_graph`-ed graph;
+    normalisation never renames a kept node's outputs, so the returned names
+    also index the raw graph's execution trace.
+    """
+    producers = _producer_map(graph)
+    consumers = _consumer_map(graph)
+    pool_node = concat = None
+    for node in graph.nodes:
+        if node.op_type in ("ReduceSum", "ReduceMean") \
+                and _reduce_axes(node, graph) == [1]:
+            src = producers.get(node.inputs[0])
+            if src is not None and src.op_type == "Concat":
+                pool_node, concat = node, src
+                break
+    if pool_node is None:
+        raise ValueError("No GraphConv pooling Reduce found in graph")
+    stages = []
+    # embed = the feature operand of the first layer's aggregation MatMul
+    lin = producers[concat.inputs[0]]              # Relu
+    lin = producers[lin.inputs[0]]                 # MatMul or bias Add
+    if lin.op_type == "Add":
+        data = [i for i in lin.inputs if i not in graph.initializers]
+        lin = producers[data[0]]
+    agg = producers[lin.inputs[0]]                 # MatMul(A_used, h)
+    stages.append(("embed", agg.inputs[1]))
+    for gi, t in enumerate(concat.inputs):
+        stages.append((f"gc{gi}", t))
+    stages.append(("pooled", pool_node.outputs[0]))
+    for fi, t in enumerate(_walk_fc_stages(graph, consumers,
+                                           pool_node.outputs[0])):
+        stages.append((f"fc{fi}", t))
+    softmax = next(n for n in graph.nodes if n.op_type == "Softmax")
+    stages.append(("logits", softmax.inputs[0]))
+    stages.append(("scores", softmax.outputs[0]))
+    return stages
+
+
+def cnn_stage_tensors(graph: OnnxGraph) -> list:
+    """Ordered [(stage, onnx_tensor_name)] matching
+    :func:`..deepfri.cnn_forward_stages` (pooled → fc* → logits → scores)."""
+    producers = _producer_map(graph)
+    consumers = _consumer_map(graph)
+    pooled = None
+    for node in graph.nodes:
+        if node.op_type == "ReduceMax" and _reduce_axes(node, graph) == [1]:
+            pooled = node.outputs[0]
+            break
+        if node.op_type == "GlobalMaxPool":
+            pooled = node.outputs[0]
+            sq = [n for n in consumers.get(pooled, [])
+                  if n.op_type in ("Squeeze", "Reshape", "Flatten")]
+            if sq:
+                pooled = sq[0].outputs[0]
+            break
+    if pooled is None:
+        raise ValueError("No global max-pool found in CNN graph")
+    stages = [("pooled", pooled)]
+    for fi, t in enumerate(_walk_fc_stages(graph, consumers, pooled)):
+        stages.append((f"fc{fi}", t))
+    softmax = next(n for n in graph.nodes if n.op_type == "Softmax")
+    stages.append(("logits", softmax.inputs[0]))
+    stages.append(("scores", softmax.outputs[0]))
+    return stages
 
 
 def infer_n_labels(graph: OnnxGraph) -> int:

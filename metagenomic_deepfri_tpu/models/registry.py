@@ -26,12 +26,10 @@ import jax.numpy as jnp
 
 from metagenomic_deepfri_tpu.batching.engine import ModelHandle
 from metagenomic_deepfri_tpu.models.deepfri import CNNConfig, GCNConfig
-from metagenomic_deepfri_tpu.models.onnx_import import (_topo_matmul_weights,
-                                                        collect_lstm_layers,
-                                                        graph_input_roles,
-                                                        import_cnn_params,
-                                                        import_gcn_params,
-                                                        normalize_graph)
+from metagenomic_deepfri_tpu.models.onnx_import import (
+    _topo_matmul_weights, collect_lstm_layers, detect_embedding_merge,
+    detect_gcn_pool, graph_input_roles, import_cnn_params, import_gcn_params,
+    normalize_graph)
 from metagenomic_deepfri_tpu.models.onnx_reader import OnnxGraph, load_onnx
 from metagenomic_deepfri_tpu.utils import get_json_values, load_deepfri_config
 
@@ -45,7 +43,8 @@ logger = logging.getLogger(__name__)
 def _matmul_weight_shapes(graph: OnnxGraph) -> List[Tuple[int, int]]:
     # Shapes come through the same collection the importer uses, so Gemm
     # transA/transB orientation is applied identically in both places.
-    return [tuple(w.shape) for _node, w, _b in _topo_matmul_weights(graph)]
+    return [tuple(w.shape) for _node, w, _b, _bn in
+            _topo_matmul_weights(graph)]
 
 
 def infer_gcn_config(graph: OnnxGraph, n_labels: int,
@@ -60,6 +59,14 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
     lstm_layers = collect_lstm_layers(graph)
     if not lstm_layers:
         raise ValueError("No LSTM nodes found — not a DeepFRI GCN graph?")
+    merge = detect_embedding_merge(graph, vocab=vocab)
+    if merge is not None and merge != "add":
+        raise ValueError(
+            f"The LM and residue-embedding branches merge via "
+            f"{merge.capitalize()!r}; only the additive merge of the "
+            f"published DeepFRI architecture is supported. A "
+            f"concatenation-merged variant needs a wider GraphConv input "
+            f"and a new config field — refusing to guess.")
     _W0, R0, _B0 = lstm_layers[0]
     hidden = R0.shape[-1]
     num_dir = R0.shape[0]
@@ -124,7 +131,8 @@ def infer_gcn_config(graph: OnnxGraph, n_labels: int,
                      lm_layers=len(lstm_layers), embed_dim=embed_dim,
                      lm_bidirectional=num_dir == 2,
                      gc_dims=tuple(gc_dims), fc_dims=tuple(fc_dims),
-                     adj_norm=detect_adj_norm(graph))
+                     adj_norm=detect_adj_norm(graph),
+                     pool=detect_gcn_pool(graph))
 
 
 def detect_adj_norm(graph: OnnxGraph) -> str:
@@ -152,41 +160,73 @@ def detect_adj_norm(graph: OnnxGraph) -> str:
     adj = roles.get("A")
     if adj is None:
         return "none"
+
+    # Adjacency-derived tensors: A plus elementwise functions of it (covers
+    # e.g. a graph normalising A + I rather than A directly).
+    elementwise = {"Add", "Sub", "Mul", "Div", "Max", "Min", "Cast",
+                   "Identity", "Where", "Clip", "Transpose"}
+    adj_like = {adj}
+    changed = True
+    while changed:
+        changed = False
+        for node in graph.nodes:
+            if node.op_type in elementwise \
+                    and any(i in adj_like for i in node.inputs) \
+                    and not set(node.outputs) <= adj_like:
+                adj_like |= set(node.outputs)
+                changed = True
+
     reduces = [n for n in graph.nodes
-               if n.op_type == "ReduceSum" and adj in n.inputs]
+               if n.op_type == "ReduceSum" and n.inputs
+               and n.inputs[0] in adj_like]
     if not reduces:
         return "none"
 
+    # Flood the degree flow forward, tagging each tensor with whether a
+    # Sqrt / Pow(±0.5) lies on ITS path — so sqrt(degree) used on a branch
+    # that never reaches the recombination cannot fake 'sym' evidence.
     follow = {"Sqrt", "Pow", "Reciprocal", "Div", "Mul", "Max", "Min",
               "Add", "Sub", "Clip", "Cast", "Unsqueeze", "Squeeze",
               "Transpose", "Expand", "Where", "Reshape", "Greater"}
-    names = {o for n in reduces for o in n.outputs}
-    sym_evidence = False
+    sym_on_path: dict = {o: False for n in reduces for o in n.outputs if o}
     changed = True
     while changed:
         changed = False
         for node in graph.nodes:
             if node.op_type not in follow:
                 continue
-            if not any(i in names for i in node.inputs):
+            tagged = [i for i in node.inputs if i in sym_on_path]
+            if not tagged:
                 continue
+            out_sym = any(sym_on_path[i] for i in tagged)
             if node.op_type == "Sqrt":
-                sym_evidence = True
+                out_sym = True
             elif node.op_type == "Pow" and len(node.inputs) > 1:
                 exp = graph.initializers.get(node.inputs[1])
                 if exp is not None and np.allclose(np.abs(exp), 0.5):
-                    sym_evidence = True
-            if not set(node.outputs) <= names:
-                names |= set(node.outputs)
-                changed = True
+                    out_sym = True
+            for o in node.outputs:
+                if o and sym_on_path.get(o) != (sym_on_path.get(o, False)
+                                                or out_sym):
+                    sym_on_path[o] = sym_on_path.get(o, False) or out_sym
+                    changed = True
+                elif o and o not in sym_on_path:
+                    sym_on_path[o] = out_sym
+                    changed = True
 
-    recombines = any(
-        node.op_type in ("Mul", "Div") and adj in node.inputs
-        and any(i in names and i != adj for i in node.inputs)
-        for node in graph.nodes)
-    if not recombines:
-        return "none"
-    return "sym" if sym_evidence else "row"
+    # Recombination: a Mul/Div mixing an adjacency-derived operand with a
+    # degree-flow operand; 'sym' only if sqrt lies on THAT operand's path.
+    recombined = False
+    for node in graph.nodes:
+        if node.op_type not in ("Mul", "Div"):
+            continue
+        deg_ins = [i for i in node.inputs
+                   if i in sym_on_path and i not in adj_like]
+        if deg_ins and any(i in adj_like for i in node.inputs):
+            recombined = True
+            if any(sym_on_path[i] for i in deg_ins):
+                return "sym"
+    return "row" if recombined else "none"
 
 
 def infer_cnn_config(graph: OnnxGraph, n_labels: int,

@@ -131,12 +131,21 @@ def _dynamic_head(g: _GraphBuilder, x: str, batch_vec: str, n_labels: int):
 
 def export_gcn_tf2onnx_style(params: dict, config: GCNConfig, path: str, *,
                              bidir_as_pair: bool = False,
-                             adj_norm: str = "none") -> None:
+                             bidir_as_revseq: bool = False,
+                             adj_norm: str = "none",
+                             embed_merge: str = "add") -> None:
     """Write a GCN graph in the tf2onnx export pattern (see module doc).
 
     ``adj_norm`` embeds an in-graph adjacency-normalisation subgraph; the
     caller's ``config.adj_norm`` should be ``'none'`` (the normalisation
     lives in the graph, and import is expected to *detect* it).
+    ``bidir_as_revseq`` writes Keras Bidirectional as two *forward* LSTMs
+    with the backward branch wrapped in ReverseSequence on input and output
+    (the exporter's third Bidirectional lowering). ``embed_merge='concat'``
+    produces the unsupported concatenation-merge variant — the importer must
+    reject it loudly. GraphConv / LM-embedding biases are emitted whenever
+    the parameter tree carries them. ``config.pool='mean'`` pools the
+    GraphConv concat with ReduceMean instead of ReduceSum.
     """
     g = _GraphBuilder()
     hidden = config.lm_hidden
@@ -153,7 +162,27 @@ def export_gcn_tf2onnx_style(params: dict, config: GCNConfig, path: str, *,
         if li > 0:
             x_tm = g.node("Transpose", [lm_out], perm=[1, 0, 2])
         W, R, B = _lstm_wrb(layer)
-        if bidir_as_pair and num_dir == 2:
+        if bidir_as_revseq and num_dir == 2:
+            # Backward branch lowered as forward LSTM over ReverseSequence'd
+            # input with its output re-reversed.
+            h0, c0 = _initial_state(g, batch_vec, 1, hidden)
+            y_f, _yh, _yc = g.node(
+                "LSTM", [x_tm, g.ini(W[0:1]), g.ini(R[0:1]), g.ini(B[0:1]),
+                         seq_lens, h0, c0],
+                n_out=3, hidden_size=hidden, direction=b"forward")
+            part_f = g.node("Squeeze", [y_f, g.ini([1], np.int64)])
+            x_rev = g.node("ReverseSequence", [x_tm, seq_lens],
+                           time_axis=0, batch_axis=1)
+            y_b, _yh2, _yc2 = g.node(
+                "LSTM", [x_rev, g.ini(W[1:2]), g.ini(R[1:2]), g.ini(B[1:2]),
+                         seq_lens, h0, c0],
+                n_out=3, hidden_size=hidden, direction=b"forward")
+            sq_b = g.node("Squeeze", [y_b, g.ini([1], np.int64)])
+            part_b = g.node("ReverseSequence", [sq_b, seq_lens],
+                            time_axis=0, batch_axis=1)
+            merged = g.node("Concat", [part_f, part_b], axis=-1)
+            lm_out = g.node("Transpose", [merged], perm=[1, 0, 2])
+        elif bidir_as_pair and num_dir == 2:
             h0, c0 = _initial_state(g, batch_vec, 1, hidden)
             parts = []
             for d, direction in enumerate(("forward", "reverse")):
@@ -195,12 +224,19 @@ def export_gcn_tf2onnx_style(params: dict, config: GCNConfig, path: str, *,
     lm_k = np.asarray(params["lm_embed"]["kernel"], np.float32)
     lm_k_node = g.node("Transpose", [g.ini(lm_k.T)], perm=[1, 0])
     x_lm = g.node("MatMul", [lm_out, lm_k_node])
+    if "bias" in params["lm_embed"]:
+        x_lm = g.node("Add", [x_lm,
+                              g.ini(np.asarray(params["lm_embed"]["bias"],
+                                               np.float32))])
     # Residue embedding: kernel as a Constant node.
     aa_k = g.const_node(np.asarray(params["aa_embed"]["kernel"], np.float32))
     x_aa = g.node("Add", [g.node("MatMul", [seq, aa_k]),
                           g.ini(np.asarray(params["aa_embed"]["bias"],
                                            np.float32))])
-    h = g.node("Relu", [g.node("Add", [x_lm, x_aa])])
+    if embed_merge == "concat":
+        h = g.node("Relu", [g.node("Concat", [x_lm, x_aa], axis=-1)])
+    else:
+        h = g.node("Relu", [g.node("Add", [x_lm, x_aa])])
 
     # --- adjacency (optionally normalised in-graph) ------------------------
     if adj_norm == "sym":
@@ -221,10 +257,15 @@ def export_gcn_tf2onnx_style(params: dict, config: GCNConfig, path: str, *,
         agg = g.node("MatMul", [a_used, h])
         k = np.asarray(layer["kernel"], np.float32)
         k_in = g.identity_weight(k) if gi == 0 else g.ini(k)
-        h = g.node("Relu", [g.node("MatMul", [agg, k_in])])
+        lin = g.node("MatMul", [agg, k_in])
+        if "bias" in layer:
+            lin = g.node("Add", [lin, g.ini(np.asarray(layer["bias"],
+                                                       np.float32))])
+        h = g.node("Relu", [lin])
         concat_in.append(h)
     cat = g.node("Concat", concat_in, axis=-1)
-    pooled = g.node("ReduceSum", [cat, g.ini([1], np.int64)], keepdims=0)
+    pool_op = "ReduceMean" if config.pool == "mean" else "ReduceSum"
+    pooled = g.node(pool_op, [cat, g.ini([1], np.int64)], keepdims=0)
 
     # --- FC + head (Gemm transB=1, Keras Dense style) -----------------------
     for layer in params["fc"]:

@@ -239,18 +239,23 @@ def make_graph_sharded_gcn_forward(mesh: Mesh, config, L: int,
             acc, _ = jax.lax.fori_loop(0, n, ring_step, (acc, x_sh))
             return acc
 
+        from metagenomic_deepfri_tpu.models.deepfri import graphconv_apply
+
         x = x_shard
         gc_outputs = []
         for layer in params["gc"]:
             agg = aggregate(x * col_scale_own[:, :, None])
             agg = agg * row_scale_own[:, :, None]
-            x = jax.nn.relu(agg @ layer["kernel"])
+            x = graphconv_apply(layer, agg, agg.dtype)
             gc_outputs.append(x)
         concat = jnp.concatenate(gc_outputs, axis=-1)
 
         valid_own = jax.lax.dynamic_slice_in_dim(valid, r0, Ls, axis=1)
         pooled = jnp.sum(concat * valid_own[:, :, None], axis=1)
         pooled = jax.lax.psum(pooled, axis)
+        if getattr(config, "pool", "sum") == "mean":
+            pooled = pooled / jnp.maximum(lengths, 1).astype(
+                pooled.dtype)[:, None]
 
         for layer in params["fc"]:
             pooled = jax.nn.relu(_dense(layer, pooled))

@@ -29,21 +29,37 @@ from metagenomic_deepfri_tpu.models.deepfri import GCNConfig, gcn_forward
 from metagenomic_deepfri_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
+def _with_bias(layer: dict, kernel_spec, bias_spec) -> dict:
+    """Layer pspec dict mirroring the layer's optional-bias structure."""
+    spec = {"kernel": kernel_spec}
+    if "bias" in layer:
+        spec["bias"] = bias_spec
+    return spec
+
+
 def gcn_param_pspecs(params: dict) -> dict:
-    """PartitionSpec pytree matching an ``init_gcn`` parameter tree."""
+    """PartitionSpec pytree matching an ``init_gcn``/imported parameter tree.
+
+    Bias entries are emitted only where the parameter tree has them
+    (GraphConv / LM-embedding biases are optional — present only when an
+    imported ONNX graph carried them).
+    """
     specs = {
         "lm": jax.tree.map(lambda _: P(), params["lm"]),
         # column-parallel into the embedding space
-        "lm_embed": {"kernel": P(None, MODEL_AXIS)},
-        "aa_embed": {"kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS)},
-        # first GraphConv contracts the sharded embedding (row-parallel);
+        "lm_embed": _with_bias(params["lm_embed"], P(None, MODEL_AXIS),
+                               P(MODEL_AXIS)),
+        "aa_embed": _with_bias(params["aa_embed"], P(None, MODEL_AXIS),
+                               P(MODEL_AXIS)),
+        # first GraphConv contracts the sharded embedding (row-parallel;
+        # its bias is added after the psum, so replicated);
         # deeper GraphConv layers stay replicated so the concat is local
-        "gc": [{"kernel": P(MODEL_AXIS, None)}]
-        + [{"kernel": P()} for _ in params["gc"][1:]],
+        "gc": [_with_bias(params["gc"][0], P(MODEL_AXIS, None), P())]
+        + [_with_bias(layer, P(), P()) for layer in params["gc"][1:]],
         # FC column-parallel, head row-parallel → one psum at the output
-        "fc": [{"kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS)}
-               for _ in params["fc"]],
-        "head": {"kernel": P(MODEL_AXIS, None), "bias": P()},
+        "fc": [_with_bias(layer, P(None, MODEL_AXIS), P(MODEL_AXIS))
+               for layer in params["fc"]],
+        "head": _with_bias(params["head"], P(MODEL_AXIS, None), P()),
     }
     return specs
 

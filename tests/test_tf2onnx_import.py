@@ -133,6 +133,182 @@ class TestGcnTf2onnxStyle:
         assert detect_adj_norm(normalize_graph(load_onnx(path))) == "none"
 
 
+def _randomize_biases(params, seed=11):
+    """Replace zero-initialised biases with random values so a discarded
+    bias cannot silently pass parity."""
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: (jnp.asarray(rng.normal(size=v.shape)
+                                    .astype(np.float32))
+                        if k == "bias" else walk(v))
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+class TestBiasCompleteImport:
+    def test_gc_and_lm_embed_biases_consumed(self, tmp_path):
+        """GraphConv + LM-embedding biases (non-zero!) must be imported, not
+        discarded — score/logit parity is the proof."""
+        params = _randomize_biases(init_gcn(jax.random.PRNGKey(9), GCN_CFG,
+                                            gc_bias=True,
+                                            lm_embed_bias=True))
+        path = str(tmp_path / "gcn_bias.onnx")
+        export_gcn_tf2onnx_style(params, GCN_CFG, path)
+
+        imported, inferred = _gcn_parity(params, GCN_CFG, path)
+        assert all("bias" in layer for layer in imported["gc"])
+        assert "bias" in imported["lm_embed"]
+        # bit-exact round trip against the source tree
+        seq, cmap = _random_protein(13)
+        orig = np.asarray(forward_pass_single(params, GCN_CFG, seq, cmap))
+        rt = np.asarray(forward_pass_single(imported, inferred, seq, cmap))
+        np.testing.assert_allclose(rt, orig, rtol=1e-5, atol=1e-6)
+
+    def test_biasless_layers_get_no_zero_fill(self, tmp_path):
+        """A graph without GraphConv/LM biases imports WITHOUT bias keys
+        (never a silent zero-fill)."""
+        params = init_gcn(jax.random.PRNGKey(10), GCN_CFG)
+        path = str(tmp_path / "gcn_nobias.onnx")
+        export_gcn_tf2onnx_style(params, GCN_CFG, path)
+        imported, _ = _gcn_parity(params, GCN_CFG, path)
+        assert all("bias" not in layer for layer in imported["gc"])
+        assert "bias" not in imported["lm_embed"]
+        assert all("bias" in layer for layer in imported["fc"])
+
+    def test_concat_embedding_merge_rejected(self, tmp_path):
+        """The unsupported concatenation embedding merge must fail loudly at
+        config inference, not import garbage."""
+        params = init_gcn(jax.random.PRNGKey(11), GCN_CFG)
+        path = str(tmp_path / "gcn_concat.onnx")
+        export_gcn_tf2onnx_style(params, GCN_CFG, path,
+                                 embed_merge="concat")
+        graph = normalize_graph(load_onnx(path))
+        with pytest.raises(ValueError, match="[Cc]oncat"):
+            infer_gcn_config(graph, n_labels=GCN_CFG.n_labels)
+
+    def test_mean_pool_detected_and_imported(self, tmp_path):
+        """A ReduceMean-pooled variant is detected (config.pool='mean') and
+        achieves parity (batched mean uses true lengths, not padded L)."""
+        from dataclasses import replace
+
+        cfg = replace(GCN_CFG, pool="mean")
+        params = init_gcn(jax.random.PRNGKey(12), cfg)
+        path = str(tmp_path / "gcn_mean.onnx")
+        export_gcn_tf2onnx_style(params, cfg, path)
+        graph = normalize_graph(load_onnx(path))
+        inferred = infer_gcn_config(graph, n_labels=cfg.n_labels)
+        assert inferred.pool == "mean"
+        _gcn_parity(params, cfg, path)
+
+    def test_unconsumed_bias_raises(self, tmp_path):
+        """An initializer-backed Add bias the importer cannot map (here:
+        added to the pooled vector) must abort the import."""
+        from metagenomic_deepfri_tpu.models.onnx_reader import OnnxNode
+
+        params = init_gcn(jax.random.PRNGKey(14), GCN_CFG)
+        path = str(tmp_path / "gcn_rogue.onnx")
+        export_gcn_tf2onnx_style(params, GCN_CFG, path)
+        graph = normalize_graph(load_onnx(path))
+        inferred = infer_gcn_config(graph, n_labels=GCN_CFG.n_labels)
+
+        # the only ReduceSum in the adj_norm='none' fixture is the pooling
+        pool_node = next(n for n in graph.nodes
+                         if n.op_type == "ReduceSum")
+        pooled = pool_node.outputs[0]
+        rogue = f"{pooled}_rogue"
+        graph.initializers["rogue_bias"] = np.ones(
+            sum(GCN_CFG.gc_dims), np.float32)
+        for node in graph.nodes:
+            node.inputs = [rogue if i == pooled else i
+                           for i in node.inputs]
+        idx = graph.nodes.index(pool_node)
+        graph.nodes.insert(idx + 1, OnnxNode(
+            "Add", [pooled, "rogue_bias"], [rogue], "rogue_add"))
+        with pytest.raises(ValueError, match="bias"):
+            import_gcn_params(graph, inferred)
+
+    def test_bidirectional_as_reversed_pair(self, tmp_path):
+        """tf2onnx's third Bidirectional lowering — backward branch as a
+        forward LSTM over ReverseSequence'd input — must merge into one
+        bidirectional layer and import bit-exactly."""
+        params = init_gcn(jax.random.PRNGKey(15), GCN_CFG)
+        path = str(tmp_path / "gcn_revseq.onnx")
+        export_gcn_tf2onnx_style(params, GCN_CFG, path,
+                                 bidir_as_revseq=True)
+        raw = load_onnx(path)
+        lstm = [n for n in raw.nodes if n.op_type == "LSTM"]
+        assert len(lstm) == 2 * GCN_CFG.lm_layers
+        assert all(n.attributes.get("direction", b"forward") == b"forward"
+                   for n in lstm)
+        graph = normalize_graph(load_onnx(path))
+        assert len(collect_lstm_layers(graph)) == GCN_CFG.lm_layers
+
+        imported, inferred = _gcn_parity(params, GCN_CFG, path)
+        seq, cmap = _random_protein(16)
+        orig = np.asarray(forward_pass_single(params, GCN_CFG, seq, cmap))
+        rt = np.asarray(forward_pass_single(imported, inferred, seq, cmap))
+        np.testing.assert_allclose(rt, orig, rtol=1e-5, atol=1e-6)
+
+
+class TestGemmOrientation:
+    def test_square_kernel_as_gemm_input_a(self):
+        """A square 2-D initializer fed as Gemm input A (y = W @ x) must be
+        stored transposed to read (in, out) relative to the data operand."""
+        from metagenomic_deepfri_tpu.models.onnx_import import \
+            _topo_matmul_weights
+        from metagenomic_deepfri_tpu.models.onnx_reader import (OnnxGraph,
+                                                                OnnxNode,
+                                                                OnnxValueInfo)
+
+        W = np.arange(9, dtype=np.float32).reshape(3, 3)
+        for transA, expect in ((0, W.T), (1, W)):
+            graph = OnnxGraph(
+                nodes=[OnnxNode("Gemm", ["W", "x"], ["y"], "g",
+                                {"transA": transA} if transA else {})],
+                initializers={"W": W},
+                inputs=[OnnxValueInfo("x", 1, [3, 2])],
+                outputs=[OnnxValueInfo("y", 1, [3, 2])])
+            entries = _topo_matmul_weights(graph)
+            assert len(entries) == 1
+            np.testing.assert_array_equal(entries[0][1], expect)
+
+
+class TestStageLocalisation:
+    def test_divergence_pinned_to_first_bad_stage(self, tmp_path):
+        """Corrupting the second GraphConv kernel after import must show
+        clean embed/gc0 stages and divergence from gc1 onward."""
+        import jax.numpy as jnp
+
+        from metagenomic_deepfri_tpu.models.registry import load_model_handle
+        from metagenomic_deepfri_tpu.parity import localize_divergence
+
+        params = init_gcn(jax.random.PRNGKey(17), GCN_CFG)
+        path = tmp_path / "gcn_mf.onnx"
+        export_gcn_tf2onnx_style(params, GCN_CFG, str(path))
+        pj = tmp_path / "gcn_mf_model_params.json"
+        with open(pj, "w") as f:
+            json.dump({"goterms": [f"GO:{i}" for i in range(5)],
+                       "gonames": [f"t{i}" for i in range(5)]}, f)
+        handle = load_model_handle("gcn", "mf", path, pj)
+        handle.params["gc"][1]["kernel"] = \
+            handle.params["gc"][1]["kernel"] + jnp.float32(0.5)
+
+        seq, cmap = _random_protein(21, L=24)
+        report = dict(localize_divergence("gcn", handle, path, seq, cmap,
+                                          tolerance=1e-4))
+        assert report["embed"] < 1e-4
+        assert report["gc0"] < 1e-4
+        assert report["gc1"] > 1e-2
+        assert report["logits"] > 1e-2
+
+
 class TestCnnTf2onnxStyle:
     def test_noisy_cnn(self, tmp_path):
         params = init_cnn(jax.random.PRNGKey(4), CNN_CFG)
@@ -188,6 +364,9 @@ class TestVerifyWeightsOnFixtureCorpus:
         assert len(results) == 2
         for res in results:
             assert res.ok, (res.net, res.mode, res.max_abs_diff)
+            # the sharp oracle: scaled pre-softmax logit agreement, immune
+            # to the 0/1 score saturation of random weights
+            assert res.max_logit_diff <= 1e-5, (res.net, res.max_logit_diff)
 
     def test_load_model_handle_normalizes(self, tmp_path):
         """load_model_handle itself must survive the raw noisy graph."""
