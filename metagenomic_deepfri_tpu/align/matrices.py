@@ -1,13 +1,25 @@
 """Protein substitution matrices.
 
 The reference pulls matrices from the ``scoring_matrices`` package with
-VTML80 as the pipeline default (reference ``alignment.py:29,271``). That
-package is not vendorable here; we embed the canonical BLOSUM62 table and
-support loading arbitrary matrices from NCBI-format files. Requests for
-unavailable named matrices (e.g. VTML80) fall back to BLOSUM62 with a logged
-warning — a documented deviation: alignment *scores* shift slightly, but the
-downstream consumers (best-hit choice, gapped alignment for contact-map
-remapping) are robust to the substitution-family change.
+VTML80 as the pipeline default (reference ``alignment.py:29,271``).
+Resolution order here, for exact reference-default semantics wherever the
+data is obtainable:
+
+1. bundled tables (BLOSUM62 below; any ``<NAME>.out`` NCBI-format file
+   dropped into ``align/data/`` is picked up as a bundled matrix);
+2. the ``scoring_matrices`` package itself, if importable — this is the
+   reference's own data source, so VTML80 resolved through it is
+   byte-identical to reference behaviour;
+3. an NCBI-format matrix file: a direct path, or ``<NAME>.out`` under
+   ``$MDEEPFRI_MATRIX_DIR``.
+
+An unresolvable name is a **hard error** with remediation instructions —
+never a silent substitution: swapping the matrix family shifts alignment
+scores and can flip borderline best-hit choices, which must be an explicit
+user decision (``--scoring-matrix blosum62``). VTML80's numeric table is
+deliberately NOT transcribed inline: this build environment has no copy of
+it and no network egress, and a from-memory reconstruction of 276 integers
+in a scoring path would be unverifiable fabricated data.
 """
 
 from __future__ import annotations
@@ -81,13 +93,45 @@ class ScoringMatrix:
         key = name.upper()
         if key == "BLOSUM62":
             return cls("BLOSUM62", BLOSUM62_ALPHABET, BLOSUM62)
+        bundled = Path(__file__).parent / "data" / f"{key}.out"
+        if bundled.exists():
+            return cls.from_file(bundled)
+        pkg = cls._from_scoring_matrices_pkg(key)
+        if pkg is not None:
+            return pkg
         if Path(name).exists():
             return cls.from_file(name)
-        logger.warning(
-            "Scoring matrix %s is not bundled; falling back to BLOSUM62. "
-            "Provide an NCBI-format matrix file path to use it exactly.",
-            name)
-        return cls("BLOSUM62", BLOSUM62_ALPHABET, BLOSUM62)
+        import os
+
+        matrix_dir = os.environ.get("MDEEPFRI_MATRIX_DIR")
+        if matrix_dir:
+            candidate = Path(matrix_dir) / f"{key}.out"
+            if candidate.exists():
+                return cls.from_file(candidate)
+        raise ValueError(
+            f"Scoring matrix {name!r} is not available in this "
+            f"installation. Options: (a) `pip install scoring-matrices` "
+            f"(the package the reference uses — gives the exact {key} "
+            f"data); (b) place an NCBI-format {key}.out next to this "
+            f"module under align/data/ or in $MDEEPFRI_MATRIX_DIR; "
+            f"(c) pass a matrix file path directly; or (d) explicitly "
+            f"choose a bundled matrix, e.g. --scoring-matrix blosum62.")
+
+    @classmethod
+    def _from_scoring_matrices_pkg(cls, key: str):
+        """Resolve via the ``scoring_matrices`` package (the reference's
+        data source, reference ``alignment.py:29``) when it is installed."""
+        try:
+            from scoring_matrices import ScoringMatrix as _SM
+        except ImportError:
+            return None
+        try:
+            sm = _SM.from_name(key)
+        except Exception:
+            return None
+        alphabet = "".join(sm.alphabet)
+        matrix = np.asarray(sm, dtype=np.float64)
+        return cls(key, alphabet, np.rint(matrix).astype(np.int32))
 
     @classmethod
     def from_file(cls, path) -> "ScoringMatrix":
@@ -130,3 +174,33 @@ def _is_int(s: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+_AUTO_WARNED = False
+
+
+def resolve_scoring_matrix(name: str = "auto") -> ScoringMatrix:
+    """Resolve the pipeline's scoring-matrix choice.
+
+    ``'auto'`` (the default) means: the reference's default VTML80
+    (reference ``alignment.py:271``) when its data is resolvable in this
+    installation, otherwise BLOSUM62 with a prominent one-time warning —
+    the *default* degrades visibly rather than refusing to run. Any
+    explicit name goes through :meth:`ScoringMatrix.from_name` strictly
+    and unresolvable names raise.
+    """
+    global _AUTO_WARNED
+    if name.lower() != "auto":
+        return ScoringMatrix.from_name(name)
+    try:
+        return ScoringMatrix.from_name("VTML80")
+    except ValueError:
+        if not _AUTO_WARNED:
+            logger.warning(
+                "VTML80 (the reference default scoring matrix) is not "
+                "available in this installation — aligning with BLOSUM62 "
+                "instead. Best-hit choices may differ from the reference "
+                "on borderline cases. Install `scoring-matrices` or drop "
+                "a VTML80.out file into align/data/ for exact parity.")
+            _AUTO_WARNED = True
+        return ScoringMatrix.from_name("BLOSUM62")

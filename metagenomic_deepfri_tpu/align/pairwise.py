@@ -17,7 +17,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from metagenomic_deepfri_tpu.align.matrices import ScoringMatrix
+from metagenomic_deepfri_tpu.align.matrices import (ScoringMatrix,
+                                                    resolve_scoring_matrix)
 from metagenomic_deepfri_tpu.data.fasta import (load_fasta_as_dict,
                                                 retrieve_fasta_entries_as_dict)
 from metagenomic_deepfri_tpu.ops.nw import (alignment_stats, nw_align,
@@ -106,13 +107,13 @@ def best_hit_database(query: str,
                       target_sequences: Dict[str, str],
                       gap_open: int = 10,
                       gap_extend: int = 1,
-                      scoring_matrix: str = "VTML80",
+                      scoring_matrix: str = "auto",
                       threads: int = 1) -> Tuple[str, str]:
     """Best-scoring target for a query (score-mode NW over the partial DB)."""
     query = _upper(query)
     ids = list(target_sequences.keys())
     seqs = [_upper(target_sequences[i]) for i in ids]
-    scoring = ScoringMatrix.from_name(scoring_matrix)
+    scoring = resolve_scoring_matrix(scoring_matrix)
     scores = nw_score_many(query, seqs, scoring, gap_open, gap_extend,
                            threads=threads)
     best = int(np.argmax(scores))
@@ -123,11 +124,11 @@ def align_pairwise(query: str,
                    target: str,
                    gap_open: int = 10,
                    gap_extend: int = 1,
-                   scoring_matrix: str = "VTML80"):
+                   scoring_matrix: str = "auto"):
     """Full NW alignment → (alignment string, identity, qcov, tcov)."""
     query = _upper(query)
     target = _upper(target)
-    scoring = ScoringMatrix.from_name(scoring_matrix)
+    scoring = resolve_scoring_matrix(scoring_matrix)
     _, alignment = nw_align(query, target, scoring, gap_open, gap_extend)
     identity, qcov, tcov = alignment_stats(query, target, alignment)
     return alignment, identity, qcov, tcov
@@ -138,7 +139,7 @@ def pairwise_against_database(query_id: str,
                               target_sequences: Dict[str, str],
                               gap_open: int = 10,
                               gap_extend: int = 1,
-                              scoring_matrix: str = "VTML80") -> AlignmentResult:
+                              scoring_matrix: str = "auto") -> AlignmentResult:
     """Pick the best hit then produce the full alignment (reference
     ``alignment.py:223-250``)."""
     query_sequence = _upper(query_sequence)
@@ -157,7 +158,7 @@ def align_mmseqs_results(best_matches_filepath,
                          alignment_gap_open: int = 10,
                          alignment_gap_extend: int = 1,
                          threads: int = 1,
-                         scoring_matrix: str = "VTML80") -> List[AlignmentResult]:
+                         scoring_matrix: str = "auto") -> List[AlignmentResult]:
     """Re-align every query against its top-k search hits.
 
     Reference flow (``alignment.py:266-320``): load best-match table, fetch

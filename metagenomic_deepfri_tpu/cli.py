@@ -30,9 +30,8 @@ def setup_logging(debug: bool = False):
     """Root logger configuration (reference cli.py:46-56)."""
     logging.basicConfig(
         level=logging.DEBUG if debug else logging.INFO,
-        format="[%(asctime)s] %(module)s.%(funcName)s %(levelname)s: "
-               "%(message)s",
-        datefmt="%Y-%m-%d %H:%M:%S",
+        format="%(asctime)s %(levelname)-7s %(name)s :: %(message)s",
+        datefmt="%Y-%m-%dT%H:%M:%S",
         handlers=[logging.StreamHandler(sys.stdout)],
         force=True,
     )
@@ -224,7 +223,7 @@ def search_databases(ctx, input, output, db_path, shard, mmseqs_sensitivity,
               help="Save contact maps of the top hits.")
 @click.option("--skip-matrix", default=False, is_flag=True,
               help="Skip writing prediction matrix files (saves disk space).")
-@click.option("--scoring-matrix", default="VTML80", type=str,
+@click.option("--scoring-matrix", default="auto", type=str,
               show_default=True,
               help="Scoring matrix for sequence alignment (name or NCBI "
                    "matrix file).")

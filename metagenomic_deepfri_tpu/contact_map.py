@@ -21,11 +21,14 @@ class CAlphaCoordinates:
         self.structure_id = structure_id
         self.coords = coords
         if coords.shape[1] != 3:
-            raise ValueError("Coordinates are not 3D.")
+            raise ValueError(
+                f"expected (L, 3) CA coordinates, got shape {coords.shape}")
 
     def calculate_distance_map(self, distance: str = "sqeuclidean"):
         if distance != "sqeuclidean":
-            raise NotImplementedError("Distance metric not implemented.")
+            raise NotImplementedError(
+                f"unsupported distance metric {distance!r}; only "
+                "'sqeuclidean' is available")
         return DistanceMap(pairwise_sqeuclidean(
             self.coords.astype(np.float32)))
 
@@ -39,11 +42,11 @@ class DistanceMap:
     def __init__(self, distance_map: np.ndarray):
         self.distance_map = distance_map
         if not np.all(distance_map >= 0):
-            raise ValueError("Distance map contains negative values.")
+            raise ValueError("distance matrix has negative entries")
         if not np.all(np.diag(distance_map) == 0):
-            raise ValueError("Distance map diagonal is not zero.")
+            raise ValueError("distance matrix has a non-zero diagonal")
         if not np.allclose(distance_map, distance_map.T):
-            raise ValueError("Distance map is not symmetric.")
+            raise ValueError("distance matrix is asymmetric")
 
     def calculate_contacts(self, threshold: float) -> "ContactMap":
         return ContactMap((self.distance_map < threshold).astype(np.int32))
@@ -55,9 +58,9 @@ class ContactMap:
     def __init__(self, cmap: np.ndarray):
         self.cmap = cmap
         if not np.allclose(cmap, cmap.T):
-            raise ValueError("Contact map is not symmetric.")
+            raise ValueError("contact map is asymmetric")
         if not np.all(np.isin(cmap, [0, 1])):
-            raise ValueError("Contact map values not in range [0, 1].")
+            raise ValueError("contact map entries must be binary (0/1)")
 
     def sparsify(self) -> np.ndarray:
         return np.argwhere(self.cmap == 1).astype(np.int32)

@@ -133,7 +133,13 @@ def contact_map_fused(coords: jnp.ndarray,
     128-multiple and the result sliced back — no silent XLA fallback (the
     default 128-residue bucket used to abandon the kernel entirely). Padded
     rows are masked by the length prefetch, so the slice is exact.
+
+    The tiled ``pallas_call`` only lowers on TPU; on other backends this
+    dispatches to :func:`batched_contact_maps` (identical output contract)
+    unless ``interpret=True`` forces the kernel through the interpreter.
     """
+    if not interpret and jax.default_backend() != "tpu":
+        return batched_contact_maps(coords, lengths, threshold=threshold)
     return _contact_map_fused_impl(coords, lengths, float(threshold),
                                    interpret)
 

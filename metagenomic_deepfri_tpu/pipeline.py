@@ -231,7 +231,7 @@ def predict_protein_function(
         save_structures: bool = False,
         save_cmaps: bool = False,
         skip_matrix: bool = False,
-        scoring_matrix: str = "VTML80",
+        scoring_matrix: str = "auto",
         propagate_go_terms: bool = False,
         obo_path=None):
     """Main prediction phase (reference pipeline.py:322-772)."""

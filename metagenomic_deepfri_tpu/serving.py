@@ -113,7 +113,7 @@ class AnnotationServer:
                  generated_contacts: int = 2,
                  gap_open: int = 10,
                  gap_extend: int = 1,
-                 scoring_matrix: str = "VTML80",
+                 scoring_matrix: str = "auto",
                  coord_cache: int = 4096,
                  threads: int = 1,
                  mesh=None):

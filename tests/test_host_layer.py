@@ -394,13 +394,15 @@ class TestDeviceNW:
             dev = nw_score_many_device(q, targets, sm, 10, 1)
             assert np.array_equal(ref, dev)
 
-    def test_gap_params_and_vtml(self):
+    def test_gap_params_and_auto_matrix(self):
+        from metagenomic_deepfri_tpu.align.matrices import \
+            resolve_scoring_matrix
         from metagenomic_deepfri_tpu.ops.nw import (nw_score_many,
                                                     nw_score_many_device)
 
         rng = np.random.default_rng(8)
         aas = list("ACDEFGHIKLMNPQRSTVWY")
-        sm = ScoringMatrix.from_name("VTML80")
+        sm = resolve_scoring_matrix("auto")
         q = "".join(rng.choice(aas, size=25))
         targets = ["".join(rng.choice(aas, size=n)) for n in (5, 25, 40)]
         for go, ge in ((10, 1), (11, 2), (5, 4)):
@@ -413,3 +415,78 @@ class TestDeviceNW:
 
         sm = ScoringMatrix.from_name("BLOSUM62")
         assert nw_score_many_device("ACDE", [], sm).shape == (0,)
+
+
+class TestMatrixResolution:
+    """Strict named-matrix resolution + the 'auto' default policy
+    (reference default VTML80, alignment.py:271)."""
+
+    def test_unknown_name_is_hard_error(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="scoring-matrices"):
+            ScoringMatrix.from_name("NOSUCHMATRIX99")
+
+    def test_auto_policy(self, caplog):
+        import logging
+
+        from metagenomic_deepfri_tpu.align import matrices
+
+        # In this environment VTML80 data may or may not be resolvable;
+        # 'auto' must return *something usable* either way and only warn
+        # when degrading.
+        matrices._AUTO_WARNED = False
+        with caplog.at_level(logging.WARNING):
+            sm = matrices.resolve_scoring_matrix("auto")
+        assert sm.name in ("VTML80", "BLOSUM62")
+        degraded = sm.name == "BLOSUM62"
+        assert any("VTML80" in r.message for r in caplog.records) == degraded
+
+    def test_explicit_blosum62_never_warns(self, caplog):
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            sm = ScoringMatrix.from_name("blosum62")
+        assert sm.name == "BLOSUM62"
+        assert not caplog.records
+
+    def test_matrix_dir_env_and_file_roundtrip(self, tmp_path, monkeypatch):
+        # Write a tiny NCBI-format matrix, resolve via $MDEEPFRI_MATRIX_DIR.
+        content = ("# toy matrix\n"
+                   "   A  C  X\n"
+                   "A  4 -2 -1\n"
+                   "C -2  9 -1\n"
+                   "X -1 -1 -1\n")
+        (tmp_path / "TOY3.out").write_text(content)
+        monkeypatch.setenv("MDEEPFRI_MATRIX_DIR", str(tmp_path))
+        sm = ScoringMatrix.from_name("toy3")
+        assert sm.score("A", "A") == 4
+        assert sm.score("a", "c") == -2
+        assert sm.score("A", "Z") == -1  # unknown chars score as X
+
+    def test_bundled_data_dir_pickup(self, monkeypatch, tmp_path):
+        import shutil
+        from pathlib import Path
+
+        from metagenomic_deepfri_tpu.align import matrices
+
+        data_dir = Path(matrices.__file__).parent / "data"
+        data_dir.mkdir(exist_ok=True)
+        target = data_dir / "TOY4.out"
+        target.write_text("   A  R\nA  5 -1\nR -1  6\n")
+        try:
+            sm = ScoringMatrix.from_name("TOY4")
+            assert sm.score("R", "R") == 6
+        finally:
+            target.unlink()
+
+    def test_scoring_matrices_pkg_passthrough(self):
+        import pytest
+
+        pytest.importorskip("scoring_matrices")
+        sm = ScoringMatrix.from_name("VTML80")
+        assert sm.name == "VTML80"
+        assert sm.matrix.shape[0] == len(sm.alphabet)
+        # VTML family invariants: symmetric, positive diagonal.
+        assert np.array_equal(sm.matrix, sm.matrix.T)
+        assert all(sm.score(c, c) > 0 for c in "ARNDCQEGHILKMFPSTWYV")

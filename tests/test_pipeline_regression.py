@@ -331,3 +331,32 @@ def test_structure_dir_database_end_to_end(weights_dir, tmp_path):
     nets = {ln.split("\t")[0]: ln.split("\t")[1] for ln in matrix[1:]}
     assert nets["q_hit_a"] == "gcn"
     assert nets["q_nohit"] == "cnn"
+
+
+def test_blocklist_loader(tmp_path, monkeypatch):
+    """Blocklist pickle (reference assets/highquality_clust30_error_ids.pkl,
+    filtered at reference pipeline.py:432-444): env override, package asset
+    lookup, and absent-file behaviour."""
+    import pickle
+
+    from metagenomic_deepfri_tpu import pipeline as pl
+
+    ids = ["AF-Q8WZ42-F1-model_v4.pdb", "AF-P12345-F1-model_v4.pdb"]
+    blk = tmp_path / "blk.pkl"
+    blk.write_bytes(pickle.dumps(ids))
+
+    monkeypatch.setenv("MDEEPFRI_BLOCKLIST", str(blk))
+    assert pl._load_blocklist("any_db") == set(ids)
+
+    monkeypatch.delenv("MDEEPFRI_BLOCKLIST")
+    assert pl._load_blocklist("no_such_db") == set()
+
+    # Package-relative asset path: <pkg>/assets/{db}_error_ids.pkl.
+    asset_dir = Path(pl.__file__).parent / "assets"
+    asset_dir.mkdir(exist_ok=True)
+    asset = asset_dir / "unit_test_db_error_ids.pkl"
+    try:
+        asset.write_bytes(pickle.dumps({"bad_entry.fcz"}))
+        assert pl._load_blocklist("unit_test_db") == {"bad_entry.fcz"}
+    finally:
+        asset.unlink()
