@@ -16,7 +16,12 @@ Bit scores use the standard gapped BLOSUM62 Karlin–Altschul parameters
 count. Sensitivity differs from MMseqs2 (global-alignment rescoring, no
 profile stages) but the pipeline's downstream thresholds (coverage ≥0.9,
 identity ≥0.5 — reference ``cli.py:141-161``) target exactly the
-near-full-length regime where global alignment is appropriate.
+near-full-length regime where global alignment is appropriate. Measured on
+a known-homology benchmark (``tests/test_search_recall.py``: 200 targets,
+point-mutated queries spanning 35–95% identity, NW oracle at the pipeline
+thresholds): recall 0.98, precision 1.00; the rare misses are short
+(<100 aa) sequences near the 50%-identity boundary where fewer than
+``min_kmer_hits`` 5-mers survive mutation.
 """
 
 from __future__ import annotations
