@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Scripted end-to-end pipeline benchmark.
+
+Mirrors the reference's published per-size tables
+(``/root/reference/benchmark/README.md:20-66``,
+``benchmark_results.tsv``: 10/100/1000/10000 sequences with per-phase
+Search/Inference timings) as ONE reproducible command:
+
+    python benchmarks/e2e_benchmark.py [--sizes 10,100,1000,10000]
+        [--workdir DIR] [--out benchmarks/e2e_results.tsv] [--threads N]
+
+It synthesises a fixed structure-directory database (500 random-walk
+backbones written as .pdb files) and per-size query sets (70% point-mutated
+copies of database entries → structure hits → GCN; 30% novel sequences →
+CNN fallback), then drives the REAL pipeline — `load_query_file` →
+`hierarchical_database_search` → `predict_protein_function` with synthetic
+ONNX weights imported through the production ONNX path — and reports the
+per-phase wall-clock from :mod:`metagenomic_deepfri_tpu.profiling`:
+
+    n_seqs  total_s  search_s  align_s  coords_s  cmap_s  gcn_s  cnn_s
+    write_s  other_s  gcn_pps
+
+The database build and weights export are done once per workdir and cached,
+so the timed region is exactly the reference's benchmarked surface (their
+DB also pre-exists when the table is produced).
+"""
+
+import argparse
+import csv
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+MODES = ["bp", "cc", "mf"]
+AAS = list("ACDEFGHIKLMNPQRSTVWY")
+DB_SIZE = 500
+HIT_FRACTION = 0.7
+MUTATION_RATE = 0.1
+
+
+def _rand_seq(rng, n):
+    return "".join(rng.choice(AAS, size=n))
+
+
+def _walk(rng, n):
+    steps = rng.normal(size=(n, 3)).astype(np.float32)
+    steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+    return np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+
+
+def _mutate(rng, seq, rate):
+    out = list(seq)
+    for pos in rng.choice(len(seq), size=int(rate * len(seq)),
+                          replace=False):
+        out[pos] = rng.choice(AAS)
+    return "".join(out)
+
+
+def build_weights(weights_dir: Path):
+    """Synthetic DeepFRI weight set exported to ONNX and loaded back through
+    the production import path (real vocabulary sizes per mode)."""
+    import jax
+
+    from metagenomic_deepfri_tpu.models.deepfri import (CNNConfig, GCNConfig,
+                                                        init_cnn, init_gcn)
+    from metagenomic_deepfri_tpu.models.onnx_import import (export_cnn_to_onnx,
+                                                            export_gcn_to_onnx)
+    from metagenomic_deepfri_tpu.utils import generate_config_json
+
+    if (weights_dir / "model_config.json").exists():
+        return
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    # real per-mode vocabulary sizes (reference *_model_params.json)
+    n_labels = {"bp": 3992, "cc": 320, "mf": 489}
+    key = jax.random.PRNGKey(0)
+    for mode in MODES:
+        k1, k2, key = jax.random.split(key, 3)
+        gcn_cfg = GCNConfig(n_labels=n_labels[mode], lm_hidden=128,
+                            lm_layers=1, embed_dim=256,
+                            gc_dims=(256, 256, 256), fc_dims=(512,))
+        cnn_cfg = CNNConfig(n_labels=n_labels[mode], conv_filters=256,
+                            conv_kernels=(8, 16), fc_dims=(512,))
+        gcn_name = (f"DeepFRI-MERGED_GraphConv_gcd_256-256-256_fcd_512_"
+                    f"ca_10.0_{mode}.onnx")
+        cnn_name = f"DeepCNN-MERGED_{mode}.onnx"
+        export_gcn_to_onnx(init_gcn(k1, gcn_cfg), gcn_cfg,
+                           str(weights_dir / gcn_name))
+        export_cnn_to_onnx(init_cnn(k2, cnn_cfg), cnn_cfg,
+                           str(weights_dir / cnn_name))
+        terms = [f"GO:{i:07d}" for i in range(n_labels[mode])]
+        names = [f"term {i}" for i in range(n_labels[mode])]
+        for name in (gcn_name, cnn_name):
+            with open(weights_dir / (name[:-5] + "_model_params.json"),
+                      "w", encoding="utf-8") as f:
+                json.dump({"goterms": terms, "gonames": names}, f)
+    generate_config_json(weights_dir, "1.1")  # v1.1: no EC mode
+
+
+def build_structure_db(db_dir: Path, rng) -> dict:
+    """500 synthetic structures as on-disk .pdb files; returns id→seq."""
+    from metagenomic_deepfri_tpu.data.structures import write_ca_pdb
+
+    manifest = db_dir / "manifest.json"
+    if manifest.exists():
+        with open(manifest, "r", encoding="utf-8") as f:
+            return json.load(f)
+    db_dir.mkdir(parents=True, exist_ok=True)
+    seqs = {}
+    for i in range(DB_SIZE):
+        sid = f"db_{i:04d}"
+        seqs[sid] = _rand_seq(rng, int(rng.integers(60, 450)))
+        write_ca_pdb(db_dir / f"{sid}.pdb", seqs[sid],
+                     _walk(rng, len(seqs[sid])))
+    with open(manifest, "w", encoding="utf-8") as f:
+        json.dump(seqs, f)
+    return seqs
+
+
+def build_queries(path: Path, rng, db_seqs: dict, n: int):
+    from metagenomic_deepfri_tpu.data.fasta import write_fasta
+
+    ids = list(db_seqs)
+    queries = {}
+    n_hits = int(n * HIT_FRACTION)
+    for i in range(n):
+        if i < n_hits:
+            src = db_seqs[ids[int(rng.integers(len(ids)))]]
+            queries[f"q{i:05d}"] = _mutate(rng, src, MUTATION_RATE)
+        else:
+            queries[f"q{i:05d}"] = _rand_seq(rng, int(rng.integers(60, 450)))
+    write_fasta(path, queries)
+    return queries
+
+
+def run_one(size: int, workdir: Path, threads: int) -> dict:
+    from metagenomic_deepfri_tpu import profiling
+    from metagenomic_deepfri_tpu.pipeline import (
+        hierarchical_database_search, load_query_file,
+        predict_protein_function)
+
+    rng = np.random.default_rng(7)
+    weights = workdir / "weights"
+    structures = workdir / "structures"
+    build_weights(weights)
+    db_seqs = build_structure_db(structures, rng)
+    qpath = workdir / f"queries_{size}.faa"
+    build_queries(qpath, np.random.default_rng(size), db_seqs, size)
+
+    out = workdir / f"out_{size}"
+    profiling.reset()
+    t0 = time.perf_counter()
+    qf = load_query_file(qpath)
+    dbs = hierarchical_database_search(
+        query_file=qf, output_path=out / "database_search",
+        databases=[structures], skip_pdb=True, max_eval=1e-3,
+        threads=threads)
+    qf2 = load_query_file(qpath)  # reference reloads between phases
+    predict_protein_function(
+        query_file=qf2, databases=tuple(dbs), weights=weights,
+        output_path=out, deepfri_processing_modes=list(MODES),
+        threads=threads)
+    total = time.perf_counter() - t0
+
+    rep = profiling.report()
+
+    def phase(prefix):
+        return round(sum(v["seconds"] for k, v in rep.items()
+                         if k.startswith(prefix)), 2)
+
+    gcn = rep.get("inference/gcn", {})
+    row = {
+        "n_seqs": size,
+        "total_s": round(total, 2),
+        "search_s": phase("search/"),
+        "align_s": phase("align/"),
+        "coords_s": phase("coords/"),
+        "cmap_s": phase("cmap/"),
+        "gcn_s": phase("inference/gcn"),
+        "cnn_s": phase("inference/cnn"),
+        "write_s": phase("write/"),
+    }
+    row["other_s"] = round(total - sum(v for k, v in row.items()
+                                       if k.endswith("_s")
+                                       and k != "total_s"), 2)
+    row["gcn_pps"] = gcn.get("items_per_sec") or 0.0
+    n_results = sum(1 for _ in open(out / "results.tsv",
+                                    encoding="utf-8")) - 1
+    assert n_results > 0, "pipeline produced an empty results.tsv"
+    row["result_rows"] = n_results
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="10,100,1000,10000")
+    ap.add_argument("--workdir", default="/tmp/mdeepfri_e2e_bench")
+    ap.add_argument("--out", default=str(Path(__file__).parent
+                                         / "e2e_results.tsv"))
+    ap.add_argument("--threads", type=int, default=4)
+    args = ap.parse_args()
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    rows = []
+    for size in sizes:
+        print(f"== {size} sequences ==", flush=True)
+        row = run_one(size, workdir, args.threads)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    cols = list(rows[0].keys())
+    with open(args.out, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(cols)
+        for row in rows:
+            w.writerow([row[c] for c in cols])
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,9 +16,18 @@ from typing import Iterable, Sequence
 # Bucket boundaries: MXU-aligned (multiples of 128 beyond the smallest).
 DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048)
 
-# Target adjacency elements per GCN batch (B·L²). 32M f32 ≈ 128 MB activations
-# headroom on a 16 GB v5e chip once weights and LM activations are counted.
-_TARGET_ADJ_ELEMS = 32 * 1024 * 1024
+# Target adjacency elements per GCN batch (B·L²): 512M f32 ≈ 2 GB per
+# adjacency buffer. Measured on v5e (BENCH_MATRIX.json + device-only batch
+# sweeps): throughput at long buckets is limited by BATCH size, not by
+# adjacency HBM traffic — the old 32M target starved the LSTM scan's
+# per-step matmul (batch 8 at bucket 2048 ran the MXU at 6% MFU; batch 128
+# at the same bucket runs at ~37%, batch 256 at ~42%). 512M keeps every
+# bucket ≥ 40% MFU while two adjacency temporaries + params + LM
+# activations still fit a 16 GB chip with >2× headroom.
+_TARGET_ADJ_ELEMS = 512 * 1024 * 1024
+# Batch ceiling: past ~2k the remaining gain is <5% (measured at buckets
+# 128/256) while host packing latency and partial-batch padding waste grow.
+_MAX_GCN_BATCH = 2048
 # Target token elements per CNN batch (B·L) — CNN has no O(L²) term.
 _TARGET_TOK_ELEMS = 512 * 1024
 
@@ -39,8 +48,8 @@ def assign_bucket(length: int,
 
 
 def gcn_batch_size(bucket: int) -> int:
-    """Batch size keeping B·L² ≈ constant, min 1, multiple-of-8 where possible."""
-    b = max(1, _TARGET_ADJ_ELEMS // (bucket * bucket))
+    """Batch size keeping B·L² ≈ constant (capped), multiple-of-8."""
+    b = max(1, min(_MAX_GCN_BATCH, _TARGET_ADJ_ELEMS // (bucket * bucket)))
     if b >= 8:
         b -= b % 8
     return b

@@ -20,8 +20,14 @@ resolves through it; unknown buckets fall back to the nearest measured one.
 from __future__ import annotations
 
 # (bucket, compute_dtype) -> 'xla' | 'pallas'.
-# Recorded on TPU v5 lite (v5e), 2026-08-19, bench.py --matrix; see
-# BENCH_MATRIX.json. Re-run the matrix after kernel changes.
+# Measured on TPU v5 lite (v5e), 2026-08-20, `python bench.py --matrix`
+# (device-only fori_loop timing, best-of-3; raw cells in BENCH_MATRIX.json).
+# XLA wins every cell at the measured-optimal batch sizes (37-45% MFU).
+# The fused kernel only ever led under the old starved batch rule (B=8 at
+# bucket 2048, where the XLA path idled the MXU at 6% MFU); with
+# B·L² ≤ 512M batches the dense path's HBM adjacency traffic is hidden
+# behind the batch-parallel matmuls and recomputing tiles in VMEM only
+# costs extra FLOPs. Re-run the matrix after kernel or batch-rule changes.
 AUTO_SPMM_TABLE: dict = {
     (128, "bfloat16"): "xla",
     (256, "bfloat16"): "xla",

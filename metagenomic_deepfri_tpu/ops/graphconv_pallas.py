@@ -17,6 +17,17 @@ O(L²) for a materialised adjacency — for a 512-residue protein that is ~100×
 less adjacency traffic, and the recompute is ~8 VPU flops per entry against
 2·D MXU flops of useful work.
 
+**Measured verdict (v5e, 2026-08-20, BENCH_MATRIX.json)**: at the
+measured-optimal batch sizes (B·L² ≤ 512M, ``batching/buckets.py``) the
+plain XLA dense path wins every (bucket, dtype) cell by 25-35% — batching
+hides the adjacency HBM traffic behind the MXU matmuls, so the VMEM
+recompute only adds work. The kernel's earlier long-bucket win (+70% at
+bucket 2048) existed only under the old B=8 starved-batch rule. It remains
+available via ``spmm='pallas'`` and matters where big batches are NOT
+available (memory-constrained co-tenancy, very long ad-hoc buckets whose
+batch would not fill); the ``'auto'`` policy resolves through the measured
+table in :mod:`..batching.spmm_table`.
+
 Contact maps at 6 Å are ~1-2% dense but strongly banded; on the MXU a masked
 dense tile contraction beats gather-based sparse SpMM for all protein-scale L
 (the gather path is HBM-latency-bound, the dense path rides the systolic

@@ -143,11 +143,13 @@ def hierarchical_database_search(query_file: QueryFile,
     aligned_total = 0
     pdb_hits: set = set()
     for db in dbs:
-        results = query_file.search(db.mmseqs_db,
-                                    mmseqs_sensitivity=mmseqs_sensitivity,
-                                    eval=max_eval,
-                                    threads=threads,
-                                    tmpdir=tmpdir)
+        with profiling.stage(f"search/{db.name}",
+                             items=len(query_file.sequences)):
+            results = query_file.search(db.mmseqs_db,
+                                        mmseqs_sensitivity=mmseqs_sensitivity,
+                                        eval=max_eval,
+                                        threads=threads,
+                                        tmpdir=tmpdir)
         filtered = results.apply_filters(min_cov=min_coverage,
                                          min_bits=min_bits,
                                          min_ident=min_ident)
@@ -297,9 +299,12 @@ def predict_protein_function(
                 save_dir = output_path / "structures" / db.name
                 save_dir.mkdir(parents=True, exist_ok=True)
             try:
-                coords = extract_calpha_coords(db, target_ids, query_ids,
-                                               save_directory=save_dir,
-                                               threads=threads)
+                with profiling.stage(f"coords/{db.name}",
+                                     items=len(query_ids)):
+                    coords = extract_calpha_coords(db, target_ids,
+                                                   query_ids,
+                                                   save_directory=save_dir,
+                                                   threads=threads)
             except RuntimeError as e:
                 logger.warning("Coordinate extraction failed for %s (%s); "
                                "queries fall back to sequence-only "
@@ -310,7 +315,8 @@ def predict_protein_function(
 
             # Fused-path prep: O(L) coordinate projection per protein;
             # adjacency is built on device inside the batched GCN step.
-            with ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
+            with profiling.stage(f"cmap/{db.name}"), \
+                    ThreadPoolExecutor(max_workers=max(threads, 1)) as pool:
                 cmaps = list(pool.map(build_align_projection,
                                       new_alignments.values()))
 
@@ -547,7 +553,8 @@ def predict_protein_function(
         alignment_data = {row[0]: row[1:] for row in reader}
 
     final_output = output_path / "results.tsv"
-    with open(final_output, "w", encoding="utf-8") as fout:
+    with profiling.stage("write/results"), \
+            open(final_output, "w", encoding="utf-8") as fout:
         fout.write("\t".join(FINAL_OUTPUT_HEADER) + "\n")
         for mode, jobs in matrix_jobs_by_mode.items():
             for job in jobs:

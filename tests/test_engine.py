@@ -44,8 +44,14 @@ class TestBuckets:
         assert plan == {128: [0, 2], 512: [1], 1024: [3]}
 
     def test_batch_size_constant_footprint(self):
-        assert gcn_batch_size(128) * 128 ** 2 <= 40 * 1024 * 1024
-        assert gcn_batch_size(1024) >= 1
+        # measured rule: B·L² ≤ 512M elements (2 GB/adjacency buffer on a
+        # 16 GB chip), batch capped at 2048 (see buckets.py rationale)
+        for bucket in (128, 256, 512, 1024, 2048, 4096):
+            b = gcn_batch_size(bucket)
+            assert b * bucket ** 2 <= 512 * 1024 * 1024
+            assert b <= 2048
+        assert gcn_batch_size(1024) >= 512
+        assert gcn_batch_size(2048) >= 120
 
 
 class TestBatchedPredictor:
