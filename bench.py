@@ -14,6 +14,8 @@ Modes (each still prints one JSON line; sidecar files carry the detail):
                 → BENCH_MATRIX.json (drives batching/spmm_table.py)
   --realvocab   real vocabulary sizes (MF 489 / BP 3992) + CNN lines
                 → BENCH_REALVOCAB.json
+  --multimode   3-mode shared-LM trunk pass vs per-mode dispatch
+                → BENCH_MULTIMODE.json
   --no-device-loop   skip the device-only loop in the default mode
 """
 
@@ -27,6 +29,11 @@ def main():
     if "--matrix" in args:
         from metagenomic_deepfri_tpu.bench_utils import run_spmm_matrix
         print(run_spmm_matrix())
+        return
+    if "--multimode" in args:
+        from metagenomic_deepfri_tpu.bench_utils import \
+            run_multimode_benchmark
+        print(run_multimode_benchmark())
         return
     if "--realvocab" in args:
         from metagenomic_deepfri_tpu.bench_utils import \

@@ -37,7 +37,8 @@ from metagenomic_deepfri_tpu.batching.buckets import (DEFAULT_BUCKETS,
                                                       cnn_batch_size,
                                                       gcn_batch_size)
 from metagenomic_deepfri_tpu.models.deepfri import (CNNConfig, GCNConfig,
-                                                    cnn_forward, gcn_forward)
+                                                    cnn_forward, gcn_forward,
+                                                    gcn_forward_multimode)
 from metagenomic_deepfri_tpu.ops.cmap_align import aligned_contacts_from_coords
 from metagenomic_deepfri_tpu.ops.one_hot import seq2tokens
 
@@ -105,6 +106,59 @@ def _unpack_coords_mega(packed: jnp.ndarray):
     lengths = (packed[:, 0, 14].astype(jnp.int32)
                | (packed[:, 0, 15].astype(jnp.int32) << 8))
     return coords, tokens, ins_mask, lengths
+
+
+def _tree_equal(a, b) -> bool:
+    """Bitwise equality of two pytrees (structure + every leaf)."""
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    if ta != tb or len(la) != len(lb):
+        return False
+    return all(x.shape == y.shape and x.dtype == y.dtype
+               and bool(jnp.array_equal(x, y)) for x, y in zip(la, lb))
+
+
+def _detect_shared_gcn(gcn_models: Dict[str, "ModelHandle"]):
+    """Detect bitwise-shared trunk subtrees across the loaded GCN modes.
+
+    The published DeepFRI models share one frozen pretrained LSTM-LM across
+    bp/cc/mf; the MERGED ONNX export duplicates it per file, so after import
+    every mode carries an identical ``lm`` subtree (and usually identical
+    ``lm_embed``/``aa_embed``). Returns (shared, per_mode, configs) when at
+    least the LM is shared and the configs agree on everything but
+    ``n_labels`` — the precondition for
+    :func:`..models.deepfri.gcn_forward_multimode` — else None. The leaf
+    comparisons run on device (a handful of boolean reductions), not by
+    pulling the weights to host.
+    """
+    import dataclasses
+
+    modes = list(gcn_models)
+    if len(modes) < 2:
+        return None
+    handles = [gcn_models[m] for m in modes]
+    cfg0 = handles[0].config
+    if not isinstance(cfg0, GCNConfig):
+        return None
+    for h in handles[1:]:
+        if not isinstance(h.config, GCNConfig):
+            return None
+        if dataclasses.replace(h.config, n_labels=cfg0.n_labels) != cfg0:
+            return None
+    shared_keys = []
+    for k in ("lm", "lm_embed", "aa_embed"):
+        sub0 = handles[0].params.get(k)
+        if sub0 is None:
+            continue
+        if all(_tree_equal(sub0, h.params.get(k)) for h in handles[1:]):
+            shared_keys.append(k)
+    if "lm" not in shared_keys:
+        return None
+    shared = {k: handles[0].params[k] for k in shared_keys}
+    per_mode = {m: {k: v for k, v in gcn_models[m].params.items()
+                    if k not in shared_keys} for m in modes}
+    configs = {m: gcn_models[m].config for m in modes}
+    return shared, per_mode, configs
 
 
 def _pow2_at_least(n: int, floor: int = 8) -> int:
@@ -286,15 +340,32 @@ class BatchedPredictor:
         self._flat_cap = {}
         self._flat_cap_lock = threading.Lock()
         self._cnn_jit = {}
+        # Shared-trunk multi-mode evaluation: when every loaded GCN mode
+        # carries a bitwise-identical LSTM-LM (the published models share
+        # one frozen pretrained LM), a multi-mode batch computes the shared
+        # trunk once instead of once per mode (~1.9× less device work on a
+        # 3-mode pass). Forced spmm='pallas' opts out — the multi-mode step
+        # uses the dense XLA adjacency path (the measured winner).
+        self._gcn_shared = (None if spmm == "pallas"
+                            else _detect_shared_gcn(self.gcn_models))
+        if self._gcn_shared is not None:
+            logger.info(
+                "GCN modes %s share %s — multi-mode batches compute the "
+                "shared trunk once.", list(self.gcn_models),
+                sorted(self._gcn_shared[0]))
+        self._gcn_multi_jit = {}
 
     # -- compiled forwards ---------------------------------------------------
 
-    def _jit(self, fn, batch_ranks):
-        """jit ``fn(params, *batch_args)``, sharding batch args over 'data'.
+    def _jit(self, fn, batch_ranks, n_params: int = 1):
+        """jit ``fn(*param_args, *batch_args)``, sharding batch args over 'data'.
 
         ``batch_ranks``: rank of each batch argument; its leading (batch)
-        dimension is sharded over the mesh's data axis, params replicated.
-        Without a mesh this is a plain jit.
+        dimension is sharded over the mesh's data axis, the ``n_params``
+        leading parameter arguments replicated. Without a mesh this is a
+        plain jit. The output sharding (a single data-sharded spec) applies
+        as a pytree prefix, so dict outputs (multi-mode steps) shard each
+        per-mode score array the same way.
         """
         if self.mesh is None:
             return jax.jit(fn)
@@ -307,7 +378,7 @@ class BatchedPredictor:
 
         batch_sh = tuple(
             sh(P(DATA_AXIS, *([None] * (r - 1)))) for r in batch_ranks)
-        return jax.jit(fn, in_shardings=(None,) + batch_sh,
+        return jax.jit(fn, in_shardings=(None,) * n_params + batch_sh,
                        out_shardings=sh(P(DATA_AXIS, None)))
 
     def _gcn_step(self, mode: str):
@@ -405,6 +476,88 @@ class BatchedPredictor:
         if mode not in self._gcn_flat_jit:
             self._gcn_flat_jit[mode] = jax.jit(self._gcn_coords_forward(mode))
         return self._gcn_flat_jit[mode]
+
+    # -- shared-trunk multi-mode steps ----------------------------------------
+
+    def _multi_key(self, modes) -> Optional[tuple]:
+        """The jit-cache key when a multi-mode shared-trunk pass applies.
+
+        Requires ≥2 requested modes, detected sharing, and every requested
+        mode among the shared set; returns None otherwise (per-mode
+        dispatch). Pallas-forced engines never detect sharing (see
+        ``__init__``), so no check is needed here.
+        """
+        if self._gcn_shared is None or len(modes) < 2:
+            return None
+        _, per_mode, _ = self._gcn_shared
+        if not all(m in per_mode for m in modes):
+            return None
+        return tuple(modes)
+
+    def _multi_params(self, modes):
+        """(shared_subtrees, {mode: remainder}) for a multi-mode call."""
+        shared, per_mode, _ = self._gcn_shared
+        return shared, {m: per_mode[m] for m in modes}
+
+    def _gcn_multi_args_step(self, modes: tuple):
+        """Jitted multi-mode forward over unpacked (coords, tokens, ins, len).
+
+        One program evaluates every requested mode: adjacency is built and
+        normalised once, the shared LM trunk runs once, and only the
+        GraphConv/FC/head stacks repeat per mode.
+        """
+        key = ("args",) + tuple(modes)
+        if key not in self._gcn_multi_jit:
+            _, _, configs = self._gcn_shared
+            cfgs = {m: configs[m] for m in modes}
+            thr, gen = self.contact_threshold, self.generated_contacts
+
+            def step(shared_p, per_mode_p, coords, tokens, ins_mask,
+                     lengths):
+                adj = aligned_contacts_from_coords(
+                    coords, ins_mask, lengths, threshold=thr,
+                    generated_contacts=gen)
+                return gcn_forward_multimode(shared_p, per_mode_p, cfgs,
+                                             tokens, adj, lengths)
+
+            self._gcn_multi_jit[key] = jax.jit(step)
+        return self._gcn_multi_jit[key]
+
+    def _gcn_multi_packed_step(self, modes: tuple):
+        """Multi-mode forward over the packed (B, L, 16) wire buffer
+        (mesh path — batch arg shards over the data axis)."""
+        key = ("packed",) + tuple(modes)
+        if key not in self._gcn_multi_jit:
+            _, _, configs = self._gcn_shared
+            cfgs = {m: configs[m] for m in modes}
+            thr, gen = self.contact_threshold, self.generated_contacts
+
+            def step(shared_p, per_mode_p, packed):
+                coords, tokens, ins_mask, lengths = \
+                    _unpack_coords_mega(packed)
+                adj = aligned_contacts_from_coords(
+                    coords, ins_mask, lengths, threshold=thr,
+                    generated_contacts=gen)
+                return gcn_forward_multimode(shared_p, per_mode_p, cfgs,
+                                             tokens, adj, lengths)
+
+            self._gcn_multi_jit[key] = self._jit(step, (3,), n_params=2)
+        return self._gcn_multi_jit[key]
+
+    def _gcn_multi_dense_step(self, modes: tuple):
+        """Multi-mode forward over a dense uint8 adjacency batch."""
+        key = ("dense",) + tuple(modes)
+        if key not in self._gcn_multi_jit:
+            _, _, configs = self._gcn_shared
+            cfgs = {m: configs[m] for m in modes}
+
+            def step(shared_p, per_mode_p, tokens, adj_u8, lengths):
+                adj = adj_u8.astype(jnp.float32)
+                return gcn_forward_multimode(shared_p, per_mode_p, cfgs,
+                                             tokens, adj, lengths)
+
+            self._gcn_multi_jit[key] = self._jit(step, (2, 3, 1), n_params=2)
+        return self._gcn_multi_jit[key]
 
     def _cnn_step(self, mode: str):
         if mode not in self._cnn_jit:
@@ -507,11 +660,18 @@ class BatchedPredictor:
                     args = (jnp.asarray(tokens), jnp.asarray(adj),
                             jnp.asarray(lengths))
                     # async dispatch: all modes queued before any fetch
-                    pending = []
-                    for mode in modes:
-                        params = models[mode].params
-                        scores = self._gcn_step(mode)(params, *args)
-                        pending.append((mode, scores))
+                    mk = self._multi_key(modes)
+                    if mk:
+                        shared_p, pm = self._multi_params(mk)
+                        by_mode = self._gcn_multi_dense_step(mk)(
+                            shared_p, pm, *args)
+                        pending = [(m, by_mode[m]) for m in modes]
+                    else:
+                        pending = []
+                        for mode in modes:
+                            params = models[mode].params
+                            scores = self._gcn_step(mode)(params, *args)
+                            pending.append((mode, scores))
                     group_out = {m: {} for m in modes}
                     for mode, scores in pending:
                         host = np.asarray(scores)
@@ -651,6 +811,18 @@ class BatchedPredictor:
                     x = jax.device_put(packed)  # async H2D
                     if use_flat:
                         args = self._flat_unpack(batch, bucket)(x)
+                    mk = self._multi_key(modes)
+                    if mk:
+                        shared_p, pm = self._multi_params(mk)
+                        if use_flat:
+                            by_mode = self._gcn_multi_args_step(mk)(
+                                shared_p, pm, *args)
+                        else:
+                            by_mode = self._gcn_multi_packed_step(mk)(
+                                shared_p, pm, x)
+                        for mode in modes:
+                            per_mode[mode].append(by_mode[mode])
+                        continue
                     for mode in modes:
                         params = self.gcn_models[mode].params
                         if use_flat:
@@ -717,21 +889,35 @@ class BatchedPredictor:
                                   np.zeros((L, 3), np.float32),
                                   np.zeros(L, bool))
                                  for i in range(batch)]
+                        # warm the program production dispatch will use:
+                        # the multi-mode step when sharing applies, else
+                        # the per-mode steps
+                        mk = self._multi_key(warm_modes)
                         if self.mesh is None:
                             cap = self._flat_cap_for(batch * L, bucket,
                                                      batch)
                             x = jax.device_put(
                                 _pack_coords_flat(items, batch, cap))
                             args = self._flat_unpack(batch, bucket)(x)
-                            outs = [self._gcn_coords_args_step(m)(
-                                self.gcn_models[m].params, *args)
-                                for m in warm_modes]
+                            if mk:
+                                shared_p, pm = self._multi_params(mk)
+                                outs = [self._gcn_multi_args_step(mk)(
+                                    shared_p, pm, *args)]
+                            else:
+                                outs = [self._gcn_coords_args_step(m)(
+                                    self.gcn_models[m].params, *args)
+                                    for m in warm_modes]
                         else:
                             x = jax.device_put(
                                 _pack_coords_mega(items, bucket, batch))
-                            outs = [self._gcn_coords_step(m)(
-                                self.gcn_models[m].params, x)
-                                for m in warm_modes]
+                            if mk:
+                                shared_p, pm = self._multi_params(mk)
+                                outs = [self._gcn_multi_packed_step(mk)(
+                                    shared_p, pm, x)]
+                            else:
+                                outs = [self._gcn_coords_step(m)(
+                                    self.gcn_models[m].params, x)
+                                    for m in warm_modes]
                     else:
                         tokens, lengths, _ = _pad_batch(
                             [(f"_warm{i}", seq) for i in range(batch)],
@@ -810,20 +996,31 @@ class BatchedPredictor:
                 batch += self._data_parallel - batch % self._data_parallel
             scores = {}
             if is_gcn:
+                mk = self._multi_key(modes)
                 if self.mesh is None:
                     total = sum(len(it[1]) for it in chunk)
                     cap = self._flat_cap_for(total, bucket, batch)
                     x = jax.device_put(_pack_coords_flat(chunk, batch, cap))
                     args = self._flat_unpack(batch, bucket)(x)
-                    for m in modes:
-                        scores[m] = self._gcn_coords_args_step(m)(
-                            models[m].params, *args)
+                    if mk:
+                        shared_p, pm = self._multi_params(mk)
+                        scores = dict(self._gcn_multi_args_step(mk)(
+                            shared_p, pm, *args))
+                    else:
+                        for m in modes:
+                            scores[m] = self._gcn_coords_args_step(m)(
+                                models[m].params, *args)
                 else:
                     x = jax.device_put(_pack_coords_mega(chunk, bucket,
                                                          batch))
-                    for m in modes:
-                        scores[m] = self._gcn_coords_step(m)(
-                            models[m].params, x)
+                    if mk:
+                        shared_p, pm = self._multi_params(mk)
+                        scores = dict(self._gcn_multi_packed_step(mk)(
+                            shared_p, pm, x))
+                    else:
+                        for m in modes:
+                            scores[m] = self._gcn_coords_step(m)(
+                                models[m].params, x)
             else:
                 tokens, lengths, _ = _pad_batch(chunk, bucket, batch, False)
                 t_d = jax.device_put(tokens)

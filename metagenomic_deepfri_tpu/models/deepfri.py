@@ -311,6 +311,79 @@ def gcn_forward_stages(params: dict, config: GCNConfig, tokens: jnp.ndarray,
     return stages
 
 
+def gcn_forward_multimode(shared: dict, per_mode: dict, configs: dict,
+                          tokens: jnp.ndarray, adjacency: jnp.ndarray,
+                          lengths: jnp.ndarray) -> dict:
+    """Evaluate several GCN modes over ONE batch, computing the shared trunk once.
+
+    The published DeepFRI GCN models reuse one frozen pretrained LSTM-LM
+    across bp/cc/mf (the model-name templates at reference
+    ``mDeepFRI/__init__.py:70-80`` encode a single LM; the "MERGED" tf2onnx
+    export bakes a copy of it into each ``.onnx``). When the engine detects
+    bitwise-identical LM subtrees across the loaded modes, a multi-mode
+    batch evaluates the LM — and the embedding merge, if those weights are
+    also shared — ONCE instead of once per mode. The LSTM is ~70% of
+    per-protein matmul FLOPs, so a 3-mode pass does ~1.9× less device work;
+    the adjacency normalisation is likewise computed once (configs must
+    agree on ``adj_norm``, which the engine validates).
+
+    Args:
+        shared: common subtrees — always ``lm``, optionally ``lm_embed`` /
+            ``aa_embed`` when those are also bitwise-shared.
+        per_mode: {mode: remainder-of-param-tree} (keys absent from
+            ``shared``).
+        configs: {mode: GCNConfig}; must agree on everything but
+            ``n_labels``.
+
+    Returns:
+        {mode: (B, n_labels_mode) float32 scores}.
+    """
+    cfg0 = next(iter(configs.values()))
+    dtype = jnp.dtype(cfg0.compute_dtype)
+    onehot = tokens2onehot(tokens, dtype=jnp.float32)
+    L = tokens.shape[1]
+    valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
+             < lengths[:, None]).astype(jnp.float32)
+    onehot = onehot * valid[:, :, None]
+    adj = normalize_adjacency(adjacency.astype(jnp.float32),
+                              cfg0.adj_norm).astype(dtype)
+
+    lm_shared = (lstm_stack_forward(shared["lm"], onehot, lengths,
+                                    compute_dtype=dtype)
+                 if "lm" in shared else None)
+    x_shared = None
+    if lm_shared is not None and "lm_embed" in shared and "aa_embed" in shared:
+        x_shared = jax.nn.relu(
+            _dense(shared["lm_embed"], lm_shared)
+            + _dense(shared["aa_embed"], onehot)).astype(dtype)
+
+    out = {}
+    for mode, p in per_mode.items():
+        cfg = configs[mode]
+        if x_shared is not None:
+            x = x_shared
+        else:
+            lm_out = (lm_shared if lm_shared is not None
+                      else lstm_stack_forward(p["lm"], onehot, lengths,
+                                              compute_dtype=dtype))
+            x = jax.nn.relu(
+                _dense(shared.get("lm_embed", p.get("lm_embed")), lm_out)
+                + _dense(shared.get("aa_embed", p.get("aa_embed")), onehot)
+            ).astype(dtype)
+        gc_outputs = []
+        for layer in p["gc"]:
+            agg = jnp.einsum("bij,bjd->bid", adj, x,
+                             preferred_element_type=jnp.float32)
+            x = graphconv_apply(layer, agg, dtype)
+            gc_outputs.append(x)
+        concat = jnp.concatenate(gc_outputs, axis=-1).astype(jnp.float32)
+        pooled = _pool_over_length(concat, valid, lengths, cfg.pool)
+        for layer in p["fc"]:
+            pooled = jax.nn.relu(_dense(layer, pooled))
+        out[mode] = _head_scores(p["head"], pooled, cfg.n_labels)
+    return out
+
+
 def gcn_forward_fused(params: dict, config: GCNConfig, tokens: jnp.ndarray,
                       proj_coords: jnp.ndarray, ins_mask: jnp.ndarray,
                       lengths: jnp.ndarray,

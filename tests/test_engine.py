@@ -169,6 +169,181 @@ class TestBatchedPredictor:
                                        rtol=1e-5, atol=1e-6)
 
 
+class TestSharedTrunkMultiMode:
+    """Multi-mode batches with a bitwise-shared LSTM-LM run the trunk once.
+
+    The published DeepFRI models share one frozen pretrained LM across
+    bp/cc/mf; the engine detects identical subtrees at load time and must
+    produce results identical to per-mode dispatch.
+    """
+
+    LABELS = {"bp": 6, "cc": 3, "mf": 4}
+
+    def _shared_handles(self, share_embeds=True, compute="float32"):
+        import dataclasses
+        handles = {}
+        base = None
+        for i, (mode, n_labels) in enumerate(self.LABELS.items()):
+            cfg = dataclasses.replace(GCN_CFG, n_labels=n_labels,
+                                      compute_dtype=compute)
+            params = init_gcn(jax.random.PRNGKey(100 + i), cfg)
+            if base is None:
+                base = params
+            else:
+                params["lm"] = base["lm"]
+                if share_embeds:
+                    params["lm_embed"] = base["lm_embed"]
+                    params["aa_embed"] = base["aa_embed"]
+            handles[mode] = ModelHandle("gcn", mode, cfg, params)
+        return handles
+
+    def _coords_items(self, n, seed=60):
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+
+        rng = np.random.default_rng(seed)
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        items = []
+        for i in range(n):
+            L = int(rng.integers(20, 150))
+            seq = "".join(rng.choice(list(aas), size=L))
+            steps = rng.normal(size=(L, 3)).astype(np.float32)
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+            proj, ins, _ = project_alignment_coords(seq, seq, coords)
+            items.append((f"q{i}", seq, proj, ins))
+        return items
+
+    def test_sharing_detected(self):
+        engine = BatchedPredictor(gcn_models=self._shared_handles())
+        assert engine._gcn_shared is not None
+        shared, per_mode, _ = engine._gcn_shared
+        assert sorted(shared) == ["aa_embed", "lm", "lm_embed"]
+        assert set(per_mode) == set(self.LABELS)
+        assert all("lm" not in p for p in per_mode.values())
+
+    def test_partial_sharing_lm_only(self):
+        engine = BatchedPredictor(
+            gcn_models=self._shared_handles(share_embeds=False))
+        assert engine._gcn_shared is not None
+        assert sorted(engine._gcn_shared[0]) == ["lm"]
+
+    def test_no_sharing_different_lm(self):
+        import dataclasses
+        handles = {}
+        for i, (mode, n_labels) in enumerate(self.LABELS.items()):
+            cfg = dataclasses.replace(GCN_CFG, n_labels=n_labels)
+            handles[mode] = ModelHandle(
+                "gcn", mode, cfg, init_gcn(jax.random.PRNGKey(200 + i), cfg))
+        assert BatchedPredictor(gcn_models=handles)._gcn_shared is None
+
+    def test_no_sharing_on_config_mismatch(self):
+        import dataclasses
+        handles = self._shared_handles()
+        bad_cfg = dataclasses.replace(handles["mf"].config, adj_norm="row")
+        handles["mf"] = ModelHandle("gcn", "mf", bad_cfg,
+                                    handles["mf"].params)
+        assert BatchedPredictor(gcn_models=handles)._gcn_shared is None
+
+    def test_forced_pallas_opts_out(self):
+        engine = BatchedPredictor(gcn_models=self._shared_handles(),
+                                  spmm="pallas")
+        assert engine._gcn_shared is None
+
+    def _control(self, handles, **kw):
+        """An engine identical in every way but with sharing disabled."""
+        control = BatchedPredictor(gcn_models=handles, **kw)
+        control._gcn_shared = None
+        return control
+
+    def test_coords_path_matches_per_mode(self):
+        handles = self._shared_handles()
+        engine = BatchedPredictor(gcn_models=handles, batch_cap=4)
+        control = self._control(handles, batch_cap=4)
+        items = self._coords_items(7)
+        got = engine.predict_gcn_from_coords(items)
+        ref = control.predict_gcn_from_coords(items)
+        assert set(got) == set(self.LABELS)
+        for mode in got:
+            for q in ref[mode]:
+                np.testing.assert_allclose(got[mode][q], ref[mode][q],
+                                           rtol=1e-6, atol=1e-7)
+
+    def test_partial_share_matches_per_mode(self):
+        handles = self._shared_handles(share_embeds=False)
+        engine = BatchedPredictor(gcn_models=handles, batch_cap=4)
+        control = self._control(handles, batch_cap=4)
+        items = self._coords_items(5, seed=61)
+        got = engine.predict_gcn_from_coords(items)
+        ref = control.predict_gcn_from_coords(items)
+        for mode in got:
+            for q in ref[mode]:
+                np.testing.assert_allclose(got[mode][q], ref[mode][q],
+                                           rtol=1e-6, atol=1e-7)
+
+    def test_dense_path_matches_per_mode(self):
+        rng = np.random.default_rng(62)
+        handles = self._shared_handles()
+        engine = BatchedPredictor(gcn_models=handles, batch_cap=4)
+        control = self._control(handles, batch_cap=4)
+        items = _mk_items(5, rng)
+        got = engine.predict_gcn(items)
+        ref = control.predict_gcn(items)
+        for mode in got:
+            for q in ref[mode]:
+                np.testing.assert_allclose(got[mode][q], ref[mode][q],
+                                           rtol=1e-6, atol=1e-7)
+
+    def test_stream_matches_per_mode(self):
+        handles = self._shared_handles()
+        engine = BatchedPredictor(gcn_models=handles, batch_cap=4)
+        control = self._control(handles, batch_cap=4)
+        items = self._coords_items(9, seed=63)
+        ref = control.predict_gcn_from_coords(items)
+        got = {m: {} for m in self.LABELS}
+        n = engine.predict_stream(
+            iter(items), net="gcn_coords",
+            result_cb=lambda part: [got[m].update(part[m]) for m in part])
+        assert n == len(items)
+        for mode in ref:
+            for q in ref[mode]:
+                np.testing.assert_allclose(got[mode][q], ref[mode][q],
+                                           rtol=1e-6, atol=1e-7)
+
+    def test_single_requested_mode_uses_per_mode_path(self):
+        handles = self._shared_handles()
+        engine = BatchedPredictor(gcn_models=handles, batch_cap=4)
+        items = self._coords_items(3, seed=64)
+        out = engine.predict_gcn_from_coords(items, modes=["mf"])
+        assert set(out) == {"mf"}
+        # no multi-mode program was compiled for a single mode
+        assert not engine._gcn_multi_jit
+
+    def test_mesh_multimode_matches_single_device(self):
+        from metagenomic_deepfri_tpu.parallel import make_mesh
+
+        handles = self._shared_handles()
+        mesh = make_mesh(n_devices=8, model_parallel=1)
+        single = BatchedPredictor(gcn_models=handles)
+        sharded = BatchedPredictor(gcn_models=handles, mesh=mesh)
+        assert sharded._gcn_shared is not None
+        items = self._coords_items(19, seed=65)
+        ref = single.predict_gcn_from_coords(items)
+        out = sharded.predict_gcn_from_coords(items)
+        for mode in ref:
+            for q in ref[mode]:
+                np.testing.assert_allclose(out[mode][q], ref[mode][q],
+                                           rtol=1e-5, atol=1e-6)
+
+    def test_warmup_compiles_multimode(self):
+        handles = self._shared_handles()
+        engine = BatchedPredictor(gcn_models=handles, buckets=(64,),
+                                  batch_cap=4)
+        fut = engine.warmup(nets=("gcn_coords",), background=True)
+        fut.result()
+        assert any(k[0] == "args" for k in engine._gcn_multi_jit)
+
+
 class TestOversizeBuckets:
     def test_assign_beyond_ceiling(self):
         assert assign_bucket(2049) == 2304
