@@ -78,6 +78,7 @@ def build_weights(weights_dir: Path):
     # real per-mode vocabulary sizes (reference *_model_params.json)
     n_labels = {"bp": 3992, "cc": 320, "mf": 489}
     key = jax.random.PRNGKey(0)
+    shared_trunk = None  # the published models share one frozen LSTM-LM
     for mode in MODES:
         k1, k2, key = jax.random.split(key, 3)
         gcn_cfg = GCNConfig(n_labels=n_labels[mode], lm_hidden=128,
@@ -88,7 +89,16 @@ def build_weights(weights_dir: Path):
         gcn_name = (f"DeepFRI-MERGED_GraphConv_gcd_256-256-256_fcd_512_"
                     f"ca_10.0_{mode}.onnx")
         cnn_name = f"DeepCNN-MERGED_{mode}.onnx"
-        export_gcn_to_onnx(init_gcn(k1, gcn_cfg), gcn_cfg,
+        gcn_params = init_gcn(k1, gcn_cfg)
+        # Mirror the published weight sets: one pretrained LM is baked into
+        # every mode's MERGED export, so the engine's shared-trunk
+        # detection fires exactly as it does on real weights.
+        if shared_trunk is None:
+            shared_trunk = {k: gcn_params[k]
+                            for k in ("lm", "lm_embed", "aa_embed")}
+        else:
+            gcn_params.update(shared_trunk)
+        export_gcn_to_onnx(gcn_params, gcn_cfg,
                            str(weights_dir / gcn_name))
         export_cnn_to_onnx(init_cnn(k2, cnn_cfg), cnn_cfg,
                            str(weights_dir / cnn_name))

@@ -504,3 +504,36 @@ class TestPrecisionDefaults:
         engine = BatchedPredictor(gcn_models={"mf": handle},
                                   matmul_precision="default")
         assert engine.matmul_precision == "default"
+
+
+class TestSharedTrunkOnnxRoundtrip:
+    def test_detection_survives_export_import(self, tmp_path):
+        """Shared LM subtrees stay bitwise-identical through the production
+        ONNX export -> import path, so pipeline-loaded models trigger the
+        multi-mode shared-trunk dispatch exactly like in-memory ones."""
+        import dataclasses
+
+        from metagenomic_deepfri_tpu.models.onnx_import import (
+            export_gcn_to_onnx, import_gcn_params)
+        from metagenomic_deepfri_tpu.models.onnx_reader import load_onnx
+        from metagenomic_deepfri_tpu.models.registry import infer_gcn_config
+
+        handles = {}
+        shared = None
+        for i, (mode, n_labels) in enumerate((("bp", 6), ("mf", 4))):
+            cfg = dataclasses.replace(GCN_CFG, n_labels=n_labels)
+            params = init_gcn(jax.random.PRNGKey(300 + i), cfg)
+            if shared is None:
+                shared = {k: params[k]
+                          for k in ("lm", "lm_embed", "aa_embed")}
+            else:
+                params.update(shared)
+            path = tmp_path / f"gcn_{mode}.onnx"
+            export_gcn_to_onnx(params, cfg, str(path))
+            graph = load_onnx(str(path))
+            loaded_cfg = infer_gcn_config(graph, n_labels)
+            loaded = import_gcn_params(graph, loaded_cfg)
+            handles[mode] = ModelHandle("gcn", mode, loaded_cfg, loaded)
+        engine = BatchedPredictor(gcn_models=handles)
+        assert engine._gcn_shared is not None
+        assert "lm" in engine._gcn_shared[0]
