@@ -61,6 +61,31 @@ def _mutate(rng, seq, rate):
     return "".join(out)
 
 
+def _calibrate_head(params, n_labels: int, rng):
+    """Give a random-weight model a realistic sparse score profile.
+
+    Untouched random heads emit per-term scores clustered near 0.5, so
+    ~half of all GO terms clear the 0.1 results threshold — thousands of
+    results.tsv rows per protein, nothing like a calibrated model. Scaling
+    the head kernel down and biasing class 1 pushes the baseline score to
+    ~e^-6 while ~1% of terms (random subset, varying with the input through
+    the scaled kernel) stay confidently high — the shape real DeepFRI
+    weights produce.
+    """
+    import numpy as _np
+
+    kernel = _np.asarray(params["head"]["kernel"])
+    params["head"]["kernel"] = kernel * 1e-2
+    bias = _np.zeros(2 * n_labels, _np.float32)
+    bias[1::2] = 6.0
+    positives = rng.choice(n_labels, size=max(4, n_labels // 100),
+                           replace=False)
+    for t in positives:
+        bias[2 * t] = 6.0
+        bias[2 * t + 1] = 0.0
+    params["head"]["bias"] = bias
+
+
 def build_weights(weights_dir: Path):
     """Synthetic DeepFRI weight set exported to ONNX and loaded back through
     the production import path (real vocabulary sizes per mode)."""
@@ -98,9 +123,14 @@ def build_weights(weights_dir: Path):
                             for k in ("lm", "lm_embed", "aa_embed")}
         else:
             gcn_params.update(shared_trunk)
+        _calibrate_head(gcn_params, n_labels[mode],
+                        np.random.default_rng(hash(mode) % 2**31))
         export_gcn_to_onnx(gcn_params, gcn_cfg,
                            str(weights_dir / gcn_name))
-        export_cnn_to_onnx(init_cnn(k2, cnn_cfg), cnn_cfg,
+        cnn_params = init_cnn(k2, cnn_cfg)
+        _calibrate_head(cnn_params, n_labels[mode],
+                        np.random.default_rng(hash("c" + mode) % 2**31))
+        export_cnn_to_onnx(cnn_params, cnn_cfg,
                            str(weights_dir / cnn_name))
         terms = [f"GO:{i:07d}" for i in range(n_labels[mode])]
         names = [f"term {i}" for i in range(n_labels[mode])]
@@ -147,7 +177,8 @@ def build_queries(path: Path, rng, db_seqs: dict, n: int):
     return queries
 
 
-def run_one(size: int, workdir: Path, threads: int) -> dict:
+def run_one(size: int, workdir: Path, threads: int,
+            skip_matrix: bool = False) -> dict:
     from metagenomic_deepfri_tpu import profiling
     from metagenomic_deepfri_tpu.pipeline import (
         hierarchical_database_search, load_query_file,
@@ -173,7 +204,7 @@ def run_one(size: int, workdir: Path, threads: int) -> dict:
     predict_protein_function(
         query_file=qf2, databases=tuple(dbs), weights=weights,
         output_path=out, deepfri_processing_modes=list(MODES),
-        threads=threads)
+        skip_matrix=skip_matrix, threads=threads)
     total = time.perf_counter() - t0
 
     rep = profiling.report()
@@ -212,6 +243,9 @@ def main():
     ap.add_argument("--out", default=str(Path(__file__).parent
                                          / "e2e_results.tsv"))
     ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--skip-matrix", action="store_true",
+                    help="skip prediction-matrix TSVs; enables the engine's "
+                         "top-k score fetch (results.tsv is unchanged)")
     args = ap.parse_args()
 
     sizes = [int(s) for s in args.sizes.split(",")]
@@ -221,7 +255,8 @@ def main():
     rows = []
     for size in sizes:
         print(f"== {size} sequences ==", flush=True)
-        row = run_one(size, workdir, args.threads)
+        row = run_one(size, workdir, args.threads,
+                      skip_matrix=args.skip_matrix)
         print(json.dumps(row), flush=True)
         rows.append(row)
 

@@ -243,6 +243,28 @@ def _unpack_coords_flat(flat: jnp.ndarray, batch: int, bucket: int):
     return coords, tokens, ins_mask, lengths
 
 
+def _expand_topk_host(host_out, n_labels: int, threshold: float):
+    """Host-side inverse of the device top-k score compaction.
+
+    ``host_out`` is either a dense (B, n_labels) array (compaction off for
+    this head) or a ``(values (B, K), indices (B, K))`` pair from
+    ``lax.top_k``. Returns ``(dense, overflow)``: the dense rows carry the
+    exact float32 values at the kept positions and 0.0 elsewhere, and
+    ``overflow`` (or None when dense) flags rows whose K-th largest score
+    still clears ``threshold`` — for those, terms beyond K might also clear
+    it, so the caller must re-run them through a dense fetch to guarantee
+    threshold-complete results.
+    """
+    if not isinstance(host_out, (tuple, list)):
+        return host_out, None
+    vals, idx = host_out
+    vals = np.asarray(vals, dtype=np.float32)
+    idx = np.asarray(idx)
+    dense = np.zeros((vals.shape[0], n_labels), np.float32)
+    np.put_along_axis(dense, idx.astype(np.int64), vals, axis=1)
+    return dense, vals[:, -1] >= threshold
+
+
 def _pad_batch_coords(items: List[tuple], bucket: int, batch: int):
     """Pack (id, seq, proj_coords, ins_mask) tuples into padded arrays."""
     tokens = np.zeros((batch, bucket), dtype=np.uint8)
@@ -285,6 +307,21 @@ class BatchedPredictor:
         spmm: GraphConv aggregation strategy — 'auto' (per-bucket choice
             from the measured table in :mod:`.spmm_table`), 'xla', or
             'pallas'.
+        score_topk: if set, heads with more than 2·K labels return only the
+            top-K (value, index) pairs from the device — an ~8× smaller
+            device→host fetch for the BP head (3992 terms), whose dense
+            float32 score matrix otherwise dominates link traffic. Rows are
+            re-expanded to dense float32 on host with exact values at the
+            kept positions and 0.0 elsewhere, which is output-identical for
+            any consumer that only keeps scores ≥ ``score_threshold``
+            (reference ``pipeline.py:701,735``) — UNLESS a protein has more
+            than K such terms, which is detected (K-th value ≥ threshold)
+            and reported through the ``overflow_cb`` of the predict calls so
+            the caller can re-run those proteins densely. Do NOT enable when
+            full prediction matrices must be exact (the pipeline only turns
+            this on under ``--skip-matrix``).
+        score_threshold: the downstream keep-threshold used for overflow
+            detection (the engine never drops values itself).
     """
 
     def __init__(self,
@@ -296,6 +333,8 @@ class BatchedPredictor:
                  contact_threshold: float = 6.0,
                  generated_contacts: int = 2,
                  spmm: str = "auto",
+                 score_topk: Optional[int] = None,
+                 score_threshold: float = 0.1,
                  mesh=None):
         self.gcn_models = gcn_models or {}
         self.cnn_models = cnn_models or {}
@@ -324,6 +363,8 @@ class BatchedPredictor:
             raise ValueError(
                 f"spmm must be 'auto', 'xla' or 'pallas', got {spmm!r}")
         self.spmm = spmm
+        self.score_topk = int(score_topk) if score_topk else None
+        self.score_threshold = float(score_threshold)
         # Optional jax.sharding.Mesh: packed batches shard over its 'data'
         # axis (params replicated), so one engine drives a whole host's
         # chips. Batch sizes scale by the data-axis size so each chip keeps
@@ -381,13 +422,28 @@ class BatchedPredictor:
         return jax.jit(fn, in_shardings=(None,) * n_params + batch_sh,
                        out_shardings=sh(P(DATA_AXIS, None)))
 
+    def _compact_scores(self, scores, n_labels: int):
+        """In-trace device-side top-k score compaction (see ``score_topk``).
+
+        A no-op unless compaction is enabled AND pays for this head
+        (n_labels > 2·K: the (value, index) pair costs 8 bytes/entry vs 4
+        for a dense float32 row).
+        """
+        k = self.score_topk
+        if not k or n_labels <= 2 * k:
+            return scores
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals, idx.astype(jnp.int32)
+
     def _gcn_step(self, mode: str):
         if mode not in self._gcn_jit:
             handle = self.gcn_models[mode]
 
             def step(params, tokens, adj_u8, lengths):
                 adj = adj_u8.astype(jnp.float32)
-                return gcn_forward(params, handle.config, tokens, adj, lengths)
+                scores = gcn_forward(params, handle.config, tokens, adj,
+                                     lengths)
+                return self._compact_scores(scores, handle.config.n_labels)
 
             self._gcn_jit[mode] = self._jit(step, (2, 3, 1))
         return self._gcn_jit[mode]
@@ -403,9 +459,11 @@ class BatchedPredictor:
         """
         if mode not in self._gcn_coords_jit:
             fwd = self._gcn_coords_forward(mode)
+            n_labels = self.gcn_models[mode].config.n_labels
 
             def step(params, packed):
-                return fwd(params, *_unpack_coords_mega(packed))
+                scores = fwd(params, *_unpack_coords_mega(packed))
+                return self._compact_scores(scores, n_labels)
 
             self._gcn_coords_jit[mode] = self._jit(step, (3,))
         return self._gcn_coords_jit[mode]
@@ -474,7 +532,13 @@ class BatchedPredictor:
     def _gcn_coords_args_step(self, mode: str):
         """Jitted forward over already-unpacked (coords, tokens, ins, len)."""
         if mode not in self._gcn_flat_jit:
-            self._gcn_flat_jit[mode] = jax.jit(self._gcn_coords_forward(mode))
+            fwd = self._gcn_coords_forward(mode)
+            n_labels = self.gcn_models[mode].config.n_labels
+
+            def step(params, *args):
+                return self._compact_scores(fwd(params, *args), n_labels)
+
+            self._gcn_flat_jit[mode] = jax.jit(step)
         return self._gcn_flat_jit[mode]
 
     # -- shared-trunk multi-mode steps ----------------------------------------
@@ -517,8 +581,10 @@ class BatchedPredictor:
                 adj = aligned_contacts_from_coords(
                     coords, ins_mask, lengths, threshold=thr,
                     generated_contacts=gen)
-                return gcn_forward_multimode(shared_p, per_mode_p, cfgs,
-                                             tokens, adj, lengths)
+                out = gcn_forward_multimode(shared_p, per_mode_p, cfgs,
+                                            tokens, adj, lengths)
+                return {m: self._compact_scores(v, cfgs[m].n_labels)
+                        for m, v in out.items()}
 
             self._gcn_multi_jit[key] = jax.jit(step)
         return self._gcn_multi_jit[key]
@@ -538,8 +604,10 @@ class BatchedPredictor:
                 adj = aligned_contacts_from_coords(
                     coords, ins_mask, lengths, threshold=thr,
                     generated_contacts=gen)
-                return gcn_forward_multimode(shared_p, per_mode_p, cfgs,
-                                             tokens, adj, lengths)
+                out = gcn_forward_multimode(shared_p, per_mode_p, cfgs,
+                                            tokens, adj, lengths)
+                return {m: self._compact_scores(v, cfgs[m].n_labels)
+                        for m, v in out.items()}
 
             self._gcn_multi_jit[key] = self._jit(step, (3,), n_params=2)
         return self._gcn_multi_jit[key]
@@ -553,8 +621,10 @@ class BatchedPredictor:
 
             def step(shared_p, per_mode_p, tokens, adj_u8, lengths):
                 adj = adj_u8.astype(jnp.float32)
-                return gcn_forward_multimode(shared_p, per_mode_p, cfgs,
-                                             tokens, adj, lengths)
+                out = gcn_forward_multimode(shared_p, per_mode_p, cfgs,
+                                            tokens, adj, lengths)
+                return {m: self._compact_scores(v, cfgs[m].n_labels)
+                        for m, v in out.items()}
 
             self._gcn_multi_jit[key] = self._jit(step, (2, 3, 1), n_params=2)
         return self._gcn_multi_jit[key]
@@ -564,32 +634,68 @@ class BatchedPredictor:
             handle = self.cnn_models[mode]
 
             def step(params, tokens, lengths):
-                return cnn_forward(params, handle.config, tokens, lengths)
+                scores = cnn_forward(params, handle.config, tokens, lengths)
+                return self._compact_scores(scores, handle.config.n_labels)
 
             self._cnn_jit[mode] = self._jit(step, (2, 1))
         return self._cnn_jit[mode]
 
     # -- public API ------------------------------------------------------------
 
+    def _expand_mode_outputs(self, mode: str, outputs, chunk_items,
+                             net: str, overflow_cb=None) -> list:
+        """Fetch one mode's per-batch step outputs and expand compaction.
+
+        ``outputs`` is a list of step results (dense arrays or top-k pairs).
+        Returns the list of dense (B, n_labels) arrays; overflowed query ids
+        (see ``score_topk``) are reported through ``overflow_cb(mode, qids)``.
+        """
+        models = self.cnn_models if net == "cnn" else self.gcn_models
+        n_labels = models[mode].config.n_labels
+        hosts = jax.device_get(outputs)
+        dense_list, oflow = [], []
+        base = 0
+        for h in hosts:
+            dense, ov = _expand_topk_host(h, n_labels, self.score_threshold)
+            dense_list.append(dense)
+            if ov is not None and ov.any():
+                for j in np.nonzero(ov)[0]:
+                    gi = base + int(j)
+                    if gi < len(chunk_items):
+                        oflow.append(chunk_items[gi][0])
+            base += dense.shape[0]
+        if oflow:
+            logger.warning(
+                "%d protein(s) have ≥ %d scores above %.3g for mode %s — "
+                "top-k fetch may be threshold-incomplete for them.",
+                len(oflow), self.score_topk, self.score_threshold, mode)
+            if overflow_cb:
+                overflow_cb(mode, oflow)
+        return dense_list
+
     def predict_gcn(self, items: List[Tuple[str, str, np.ndarray]],
                     modes: Optional[Iterable[str]] = None,
                     progress_cb=None,
-                    result_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
+                    result_cb=None,
+                    overflow_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
         """Run GCN forwards for (query_id, sequence, dense_cmap) items.
 
         Returns {mode: {query_id: scores (n_labels,)}}. All requested modes
         are evaluated per device-resident batch. ``result_cb``, if given,
         receives each drained group's partial ``{mode: {qid: scores}}`` as
-        soon as it is fetched (checkpoint streaming).
+        soon as it is fetched (checkpoint streaming). ``overflow_cb(mode,
+        qids)`` reports proteins whose top-k fetch may be
+        threshold-incomplete (only possible when ``score_topk`` is set).
         """
         modes = list(modes) if modes is not None else list(self.gcn_models)
         return self._run(items, modes, net="gcn", progress_cb=progress_cb,
-                         result_cb=result_cb)
+                         result_cb=result_cb, overflow_cb=overflow_cb)
 
     def predict_gcn_from_coords(self, items: List[tuple],
                                 modes: Optional[Iterable[str]] = None,
                                 progress_cb=None,
-                                result_cb=None):
+                                result_cb=None,
+                                overflow_cb=None):
         """GCN forwards from (query_id, sequence, proj_coords, ins_mask).
 
         ``proj_coords``/``ins_mask`` come from
@@ -599,19 +705,21 @@ class BatchedPredictor:
         """
         modes = list(modes) if modes is not None else list(self.gcn_models)
         return self._run(items, modes, net="gcn_coords",
-                         progress_cb=progress_cb, result_cb=result_cb)
+                         progress_cb=progress_cb, result_cb=result_cb,
+                         overflow_cb=overflow_cb)
 
     def predict_cnn(self, items: List[Tuple[str, str]],
                     modes: Optional[Iterable[str]] = None,
                     progress_cb=None,
-                    result_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
+                    result_cb=None,
+                    overflow_cb=None) -> Dict[str, Dict[str, np.ndarray]]:
         """Run CNN forwards for (query_id, sequence) items."""
         modes = list(modes) if modes is not None else list(self.cnn_models)
         return self._run(items, modes, net="cnn", progress_cb=progress_cb,
-                         result_cb=result_cb)
+                         result_cb=result_cb, overflow_cb=overflow_cb)
 
     def _run(self, items, modes, net: str, progress_cb=None,
-             result_cb=None):
+             result_cb=None, overflow_cb=None):
         out: Dict[str, Dict[str, np.ndarray]] = {m: {} for m in modes}
         if not items:
             return out
@@ -646,12 +754,14 @@ class BatchedPredictor:
                 if net == "gcn_coords":
                     self._run_coords_bucket(items, idxs, bucket, batch, modes,
                                             out, progress_cb,
-                                            result_cb=result_cb)
+                                            result_cb=result_cb,
+                                            overflow_cb=overflow_cb)
                     continue
                 if net == "cnn":
                     self._run_cnn_bucket(items, idxs, bucket, batch, modes,
                                          out, progress_cb,
-                                         result_cb=result_cb)
+                                         result_cb=result_cb,
+                                         overflow_cb=overflow_cb)
                     continue
                 for start in range(0, len(idxs), batch):
                     chunk = [items[i] for i in idxs[start:start + batch]]
@@ -674,7 +784,8 @@ class BatchedPredictor:
                             pending.append((mode, scores))
                     group_out = {m: {} for m in modes}
                     for mode, scores in pending:
-                        host = np.asarray(scores)
+                        host = self._expand_mode_outputs(
+                            mode, [scores], chunk, net, overflow_cb)[0]
                         for i, item in enumerate(chunk):
                             out[mode][item[0]] = host[i]
                             group_out[mode][item[0]] = host[i]
@@ -685,7 +796,8 @@ class BatchedPredictor:
         return out
 
     def _run_cnn_bucket(self, items, idxs, bucket: int, batch: int,
-                        modes, out, progress_cb=None, result_cb=None):
+                        modes, out, progress_cb=None, result_cb=None,
+                        overflow_cb=None):
         """CNN bucket drain with async transfers and one fetch per mode.
 
         Same latency engineering as :meth:`_run_coords_bucket`: per-batch
@@ -705,7 +817,9 @@ class BatchedPredictor:
                 # one bulk fetch per mode; device_get drains the chunk list
                 # without a device-side concat (which would recompile per
                 # distinct chunk count)
-                hosts = jax.device_get(per_mode[mode])
+                hosts = self._expand_mode_outputs(mode, per_mode[mode],
+                                                  chunk_items, "cnn",
+                                                  overflow_cb)
                 for i, item in enumerate(chunk_items):
                     row = hosts[i // batch][i % batch]
                     out[mode][item[0]] = row
@@ -739,7 +853,8 @@ class BatchedPredictor:
             drainer.shutdown(wait=True)
 
     def _run_coords_bucket(self, items, idxs, bucket: int, batch: int,
-                           modes, out, progress_cb=None, result_cb=None):
+                           modes, out, progress_cb=None, result_cb=None,
+                           overflow_cb=None):
         """Latency-optimised bucket drain for the fused coords path.
 
         Each batch is packed into ONE (B, L, 16) uint8 buffer and shipped with an
@@ -784,7 +899,9 @@ class BatchedPredictor:
                 # one bulk fetch per mode; device_get drains the chunk
                 # list without a device-side concat (which would
                 # recompile per distinct chunk count)
-                hosts = jax.device_get(per_mode[mode])
+                hosts = self._expand_mode_outputs(mode, per_mode[mode],
+                                                  chunk_items, "gcn",
+                                                  overflow_cb)
                 for i, item in enumerate(chunk_items):
                     row = hosts[i // batch][i % batch]
                     out[mode][item[0]] = row
@@ -945,6 +1062,7 @@ class BatchedPredictor:
     def predict_stream(self, items_iter, net: str = "gcn_coords",
                        modes: Optional[Iterable[str]] = None,
                        result_cb=None, progress_cb=None,
+                       overflow_cb=None,
                        max_inflight: int = 8) -> int:
         """Bounded-memory streaming inference over an item *iterator*.
 
@@ -972,11 +1090,13 @@ class BatchedPredictor:
 
         def drain_one():
             chunk, scores = inflight.popleft()
-            hosts = jax.device_get(scores)
             emit = {m: {} for m in modes}
             for m in modes:
+                host = self._expand_mode_outputs(
+                    m, [scores[m]], chunk, "cnn" if not is_gcn else "gcn",
+                    overflow_cb)[0]
                 for i, item in enumerate(chunk):
-                    emit[m][item[0]] = hosts[m][i]
+                    emit[m][item[0]] = host[i]
             if result_cb:
                 result_cb(emit)
             if progress_cb:

@@ -346,11 +346,26 @@ def predict_protein_function(
         mesh = make_mesh(model_parallel=1)
         logger.info("Sharding inference over %d devices (data-parallel).",
                     _jax.device_count())
+    # Under --skip-matrix only scores ≥ SCORE_THRESHOLD reach results.tsv,
+    # so large heads (BP: 3992 terms) need not ship their dense float32
+    # score matrix over the link: the engine fetches top-k (exact values)
+    # and flags the rare proteins with more than k above-threshold terms,
+    # which are re-run densely below. With matrices requested, every score
+    # must be exact — compaction stays off.
+    score_topk = 256 if skip_matrix else None
     predictor = BatchedPredictor(gcn_models=gcn_handles,
                                  cnn_models=cnn_handles,
                                  contact_threshold=angstrom_contact_threshold,
                                  generated_contacts=generate_contacts,
+                                 score_topk=score_topk,
+                                 score_threshold=SCORE_THRESHOLD,
                                  mesh=mesh)
+    overflow: Dict[str, Dict[str, set]] = {"gcn": {}, "cnn": {}}
+
+    def _overflow_collector(net: str):
+        def cb(mode, qids):
+            overflow[net].setdefault(mode, set()).update(qids)
+        return cb
     # Pre-compile the buckets this workload will actually hit, on a
     # background thread — overlaps executable compile/load with the
     # CPU-side alignment phase so inference starts hot.
@@ -415,7 +430,8 @@ def predict_protein_function(
             n_gcn = predictor.predict_stream(
                 _items_iter(), net="gcn_coords", modes=list(gcn_handles),
                 result_cb=lambda part: ckpt.add("gcn", part),
-                progress_cb=gcn_bar.update)
+                progress_cb=gcn_bar.update,
+                overflow_cb=_overflow_collector("gcn"))
         profiling.add_items("inference/gcn", items=n_gcn)
     finally:
         stop.set()
@@ -475,11 +491,44 @@ def predict_protein_function(
             pending_cnn, modes=list(cnn_handles),
             progress_cb=lambda n: bar.update(
                 n * len(deepfri_processing_modes)),
-            result_cb=lambda part: ckpt.add("cnn", part))
+            result_cb=lambda part: ckpt.add("cnn", part),
+            overflow_cb=_overflow_collector("cnn"))
     bar.close()
     gcn_scores = {m: {} for m in gcn_handles}
     ckpt.merge_into("gcn", gcn_scores)
     ckpt.merge_into("cnn", cnn_scores)
+
+    # Dense re-run of top-k overflows: proteins with > score_topk terms at
+    # or above the threshold get exact threshold-complete rows (their
+    # checkpoint parts are re-written, so a crash-resume also sees the
+    # corrected scores — later parts win on reload).
+    if any(overflow["gcn"].values()) or any(overflow["cnn"].values()):
+        n_over = sum(len(q) for d in overflow.values() for q in d.values())
+        logger.info("Re-running %d protein/mode pair(s) with dense score "
+                    "fetch (top-%d was threshold-incomplete for them).",
+                    n_over, score_topk)
+        dense_predictor = BatchedPredictor(
+            gcn_models=gcn_handles, cnn_models=cnn_handles,
+            contact_threshold=angstrom_contact_threshold,
+            generated_contacts=generate_contacts, mesh=mesh)
+        coords_by_qid = {aln.query_name: (aln.query_sequence, proj, ins)
+                         for aln, (proj, ins) in aligned_cmaps}
+        for mode, qids in overflow["gcn"].items():
+            over_items = [(q,) + coords_by_qid[q] for q in sorted(qids)
+                          if q in coords_by_qid]
+            if over_items:
+                fixed = dense_predictor.predict_gcn_from_coords(
+                    over_items, modes=[mode])
+                gcn_scores[mode].update(fixed[mode])
+                ckpt.add("gcn", fixed)
+        cnn_seq = dict(cnn_items)
+        for mode, qids in overflow["cnn"].items():
+            over_items = [(q, cnn_seq[q]) for q in sorted(qids)
+                          if q in cnn_seq]
+            if over_items:
+                fixed = dense_predictor.predict_cnn(over_items, modes=[mode])
+                cnn_scores[mode].update(fixed[mode])
+                ckpt.add("cnn", fixed)
     if warmup_future is not None and warmup_future.done() \
             and warmup_future.exception():
         logger.warning("Engine warmup failed (inference itself succeeded): "

@@ -537,3 +537,177 @@ class TestSharedTrunkOnnxRoundtrip:
         engine = BatchedPredictor(gcn_models=handles)
         assert engine._gcn_shared is not None
         assert "lm" in engine._gcn_shared[0]
+
+
+class TestScoreTopK:
+    """Device-side top-k score compaction: exact values, overflow detection."""
+
+    N_LABELS = 40
+    K = 8
+
+    def _handle(self, sparse_scores=True, seed=0):
+        """GCN handle whose head yields a realistic sparse score profile:
+        class-1 bias +6 pushes most per-term scores far below 0.1, first
+        three terms biased high (calibrated-model shape). With
+        ``sparse_scores=False`` the random head leaves ~half the scores
+        near 0.5 — the overflow regime."""
+        import dataclasses
+
+        cfg = dataclasses.replace(GCN_CFG, n_labels=self.N_LABELS)
+        params = init_gcn(jax.random.PRNGKey(seed), cfg)
+        if sparse_scores:
+            # scale the head kernel down so the bias dominates the logits
+            # (sum-pooled features otherwise swamp any fixed bias)
+            params["head"]["kernel"] = params["head"]["kernel"] * 1e-3
+            bias = np.zeros(2 * self.N_LABELS, np.float32)
+            bias[1::2] = 6.0           # class-1 wins → score ≈ 0
+            for i in range(3):         # three confident terms
+                bias[2 * i] = 6.0
+                bias[2 * i + 1] = 0.0
+            params["head"]["bias"] = bias
+        return ModelHandle("gcn", "mf", cfg, params)
+
+    def _items(self, n, seed=70):
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+
+        rng = np.random.default_rng(seed)
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        items = []
+        for i in range(n):
+            L = int(rng.integers(20, 120))
+            seq = "".join(rng.choice(list(aas), size=L))
+            steps = rng.normal(size=(L, 3)).astype(np.float32)
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+            proj, ins, _ = project_alignment_coords(seq, seq, coords)
+            items.append((f"q{i}", seq, proj, ins))
+        return items
+
+    def test_expand_topk_host(self):
+        from metagenomic_deepfri_tpu.batching.engine import _expand_topk_host
+
+        vals = np.array([[0.9, 0.5, 0.05], [0.09, 0.08, 0.07]], np.float32)
+        idx = np.array([[7, 2, 0], [1, 3, 5]], np.int32)
+        dense, overflow = _expand_topk_host((vals, idx), 10, 0.1)
+        assert dense.shape == (2, 10)
+        assert dense[0, 7] == np.float32(0.9)
+        assert dense[0, 2] == np.float32(0.5)
+        assert dense[0, 0] == np.float32(0.05)
+        assert dense[0, 1] == 0.0
+        assert not overflow[0]   # 3rd largest (0.05) below threshold: done
+        assert not overflow[1]
+        vals2 = np.array([[0.9, 0.5, 0.11]], np.float32)
+        _, overflow2 = _expand_topk_host((vals2, idx[:1]), 10, 0.1)
+        assert overflow2[0]      # K-th still ≥ 0.1 → maybe more beyond K
+        passthrough, ov = _expand_topk_host(np.zeros((2, 5)), 5, 0.1)
+        assert ov is None and passthrough.shape == (2, 5)
+
+    def test_topk_matches_dense_no_overflow(self):
+        handle = self._handle(sparse_scores=True)
+        dense_eng = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4)
+        topk_eng = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4,
+                                    score_topk=self.K)
+        items = self._items(7)
+        flagged = []
+        ref = dense_eng.predict_gcn_from_coords(items)
+        got = topk_eng.predict_gcn_from_coords(
+            items, overflow_cb=lambda m, q: flagged.extend(q))
+        assert not flagged
+        for q, row in ref["mf"].items():
+            kept = got["mf"][q]
+            nz = kept != 0
+            # exact values at kept positions
+            np.testing.assert_array_equal(kept[nz], row[nz])
+            # every above-threshold term present
+            above = row >= 0.1
+            assert nz[above].all()
+
+    def test_topk_overflow_detected(self):
+        handle = self._handle(sparse_scores=False)  # ~half scores ≥ 0.1
+        topk_eng = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4,
+                                    score_topk=self.K)
+        items = self._items(5, seed=71)
+        flagged = []
+        topk_eng.predict_gcn_from_coords(
+            items, overflow_cb=lambda m, q: flagged.extend(q))
+        assert set(flagged) == {it[0] for it in items}
+
+    def test_topk_noop_for_small_heads(self):
+        # n_labels=4 ≤ 2·K → compaction must not engage (pair costs more)
+        handle = ModelHandle("gcn", "mf", GCN_CFG,
+                             init_gcn(jax.random.PRNGKey(3), GCN_CFG))
+        dense_eng = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4)
+        topk_eng = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4,
+                                    score_topk=self.K)
+        items = self._items(3, seed=72)
+        ref = dense_eng.predict_gcn_from_coords(items)
+        got = topk_eng.predict_gcn_from_coords(items)
+        for q in ref["mf"]:
+            np.testing.assert_array_equal(got["mf"][q], ref["mf"][q])
+
+    def test_topk_stream(self):
+        handle = self._handle(sparse_scores=True, seed=4)
+        topk_eng = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4,
+                                    score_topk=self.K)
+        dense_eng = BatchedPredictor(gcn_models={"mf": handle}, batch_cap=4)
+        items = self._items(9, seed=73)
+        ref = dense_eng.predict_gcn_from_coords(items)
+        got = {}
+        topk_eng.predict_stream(iter(items), net="gcn_coords",
+                                result_cb=lambda p: got.update(p["mf"]))
+        for q, row in ref["mf"].items():
+            nz = got[q] != 0
+            np.testing.assert_array_equal(got[q][nz], row[nz])
+
+    def test_topk_cnn(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(CNN_CFG, n_labels=self.N_LABELS)
+        params = init_cnn(jax.random.PRNGKey(5), cfg)
+        params["head"]["kernel"] = params["head"]["kernel"] * 1e-3
+        bias = np.zeros(2 * self.N_LABELS, np.float32)
+        bias[1::2] = 6.0
+        params["head"]["bias"] = bias
+        handle = ModelHandle("cnn", "bp", cfg, params)
+        dense_eng = BatchedPredictor(cnn_models={"bp": handle}, batch_cap=4)
+        topk_eng = BatchedPredictor(cnn_models={"bp": handle}, batch_cap=4,
+                                    score_topk=self.K)
+        rng = np.random.default_rng(74)
+        items = [(qid, seq) for qid, seq, _ in _mk_items(6, rng)]
+        ref = dense_eng.predict_cnn(items)
+        got = topk_eng.predict_cnn(items)
+        for q, row in ref["bp"].items():
+            nz = got["bp"][q] != 0
+            np.testing.assert_array_equal(got["bp"][q][nz], row[nz])
+
+    def test_topk_multimode(self):
+        """Compaction composes with the shared-trunk multi-mode dispatch."""
+        import dataclasses
+
+        handles = {}
+        base = None
+        for i, mode in enumerate(("bp", "cc")):
+            cfg = dataclasses.replace(GCN_CFG, n_labels=self.N_LABELS + i)
+            params = init_gcn(jax.random.PRNGKey(10 + i), cfg)
+            params["head"]["kernel"] = params["head"]["kernel"] * 1e-3
+            bias = np.zeros(2 * cfg.n_labels, np.float32)
+            bias[1::2] = 6.0
+            params["head"]["bias"] = bias
+            if base is None:
+                base = params
+            else:
+                for k in ("lm", "lm_embed", "aa_embed"):
+                    params[k] = base[k]
+            handles[mode] = ModelHandle("gcn", mode, cfg, params)
+        topk_eng = BatchedPredictor(gcn_models=handles, batch_cap=4,
+                                    score_topk=self.K)
+        assert topk_eng._gcn_shared is not None
+        dense_eng = BatchedPredictor(gcn_models=handles, batch_cap=4)
+        items = self._items(5, seed=75)
+        ref = dense_eng.predict_gcn_from_coords(items)
+        got = topk_eng.predict_gcn_from_coords(items)
+        for mode in ref:
+            for q, row in ref[mode].items():
+                nz = got[mode][q] != 0
+                np.testing.assert_array_equal(got[mode][q][nz], row[nz])

@@ -216,9 +216,9 @@ def test_crash_resume_from_checkpoint(weights_dir, data_dir, tmp_path,
     real_cnn = BatchedPredictor.predict_cnn
 
     def crashing_cnn(self, items, modes=None, progress_cb=None,
-                     result_cb=None):
+                     result_cb=None, **kw):
         real_cnn(self, items, modes=modes, progress_cb=progress_cb,
-                 result_cb=result_cb)
+                 result_cb=result_cb, **kw)
         raise RuntimeError("simulated crash after inference")
 
     monkeypatch.setattr(BatchedPredictor, "predict_cnn", crashing_cnn)
@@ -360,3 +360,83 @@ def test_blocklist_loader(tmp_path, monkeypatch):
         assert pl._load_blocklist("unit_test_db") == {"bad_entry.fcz"}
     finally:
         asset.unlink()
+
+
+def test_skip_matrix_topk_results_identical(tmp_path):
+    """--skip-matrix enables the engine's top-k score fetch; results.tsv
+    must be byte-identical to the dense run. Uses a >2·K vocabulary with
+    UNCALIBRATED random heads (~half of all terms ≥ 0.1) so every protein
+    overflows the top-k window and the dense re-run path is exercised."""
+    import dataclasses
+
+    from metagenomic_deepfri_tpu.data.structures import write_ca_pdb
+    from metagenomic_deepfri_tpu.models.deepfri import (CNNConfig, GCNConfig,
+                                                        init_cnn, init_gcn)
+    from metagenomic_deepfri_tpu.models.onnx_import import (
+        export_cnn_to_onnx, export_gcn_to_onnx)
+    from metagenomic_deepfri_tpu.utils import generate_config_json
+
+    n_labels = 600  # > 2 * score_topk(256) → compaction engages
+    gcn_cfg = GCNConfig(n_labels=n_labels, lm_hidden=8, lm_layers=1,
+                        embed_dim=16, gc_dims=(8, 12), fc_dims=(16,))
+    cnn_cfg = CNNConfig(n_labels=n_labels, conv_filters=8, conv_kernels=(3,),
+                        fc_dims=(16,))
+    weights = tmp_path / "weights"
+    weights.mkdir()
+    key = jax.random.PRNGKey(9)
+    terms = [f"GO:{i:07d}" for i in range(n_labels)]
+    names = [f"t{i}" for i in range(n_labels)]
+    for mode in MODES:
+        k1, k2, key = jax.random.split(key, 3)
+        gcn_name = (f"DeepFRI-MERGED_GraphConv_gcd_8-12_fcd_16_ca_10.0_"
+                    f"{mode}.onnx")
+        cnn_name = f"DeepCNN-MERGED_{mode}.onnx"
+        export_gcn_to_onnx(init_gcn(k1, gcn_cfg), gcn_cfg,
+                           str(weights / gcn_name))
+        export_cnn_to_onnx(init_cnn(k2, cnn_cfg), cnn_cfg,
+                           str(weights / cnn_name))
+        for name in (gcn_name, cnn_name):
+            with open(weights / (name[:-5] + "_model_params.json"),
+                      "w") as f:
+                json.dump({"goterms": terms, "gonames": names}, f)
+    generate_config_json(weights, "1.0")
+
+    rng = np.random.default_rng(33)
+    aas = list("ACDEFGHIKLMNPQRSTVWY")
+    structures = tmp_path / "structures"
+    structures.mkdir()
+    seqs = {}
+    for i in range(3):
+        sid = f"af_{i}"
+        seqs[sid] = "".join(rng.choice(aas, size=60 + 10 * i))
+        steps = rng.normal(size=(len(seqs[sid]), 3)).astype(np.float32)
+        steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+        write_ca_pdb(structures / f"{sid}.pdb", seqs[sid],
+                     np.cumsum(3.8 * steps, axis=0).astype(np.float32))
+
+    def mutate(seq, n):
+        out = list(seq)
+        for pos in rng.choice(len(seq), size=n, replace=False):
+            out[pos] = rng.choice(aas)
+        return "".join(out)
+
+    queries = {"q_hit": mutate(seqs["af_0"], 3),
+               "q_nohit": "".join(rng.choice(aas, size=45))}
+    write_fasta(tmp_path / "queries.faa", queries)
+
+    results = {}
+    for label, skip in (("dense", False), ("topk", True)):
+        out = tmp_path / f"run_{label}"
+        qf = load_query_file(tmp_path / "queries.faa")
+        dbs = hierarchical_database_search(
+            query_file=qf, output_path=out / "database_search",
+            databases=[structures], skip_pdb=True, max_eval=1e-3, threads=2)
+        qf2 = load_query_file(tmp_path / "queries.faa")
+        predict_protein_function(
+            query_file=qf2, databases=tuple(dbs), weights=weights,
+            output_path=out, deepfri_processing_modes=["mf"],
+            skip_matrix=skip, threads=2)
+        results[label] = (out / "results.tsv").read_text()
+    assert results["topk"] == results["dense"]
+    # sanity: the run actually produced annotations
+    assert len(results["dense"].strip().split("\n")) > 3
