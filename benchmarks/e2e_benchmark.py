@@ -75,7 +75,7 @@ def _calibrate_head(params, n_labels: int, rng):
     import numpy as _np
 
     kernel = _np.asarray(params["head"]["kernel"])
-    params["head"]["kernel"] = kernel * 1e-2
+    params["head"]["kernel"] = kernel * 1e-4
     bias = _np.zeros(2 * n_labels, _np.float32)
     bias[1::2] = 6.0
     positives = rng.choice(n_labels, size=max(4, n_labels // 100),

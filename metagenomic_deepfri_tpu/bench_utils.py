@@ -241,7 +241,7 @@ def run_multimode_benchmark(bucket: int = 512, batches: int = 4,
         # calibrated sparse score profile (real models emit few terms
         # ≥ 0.1; untouched random heads emit ~n_labels/2) so the top-k
         # configuration is measured in its design regime
-        kernel = np.asarray(params["head"]["kernel"]) * 1e-2
+        kernel = np.asarray(params["head"]["kernel"]) * 1e-4
         bias = np.zeros(2 * n_labels, np.float32)
         bias[1::2] = 6.0
         rng_b = np.random.default_rng(seed + 17 * i)

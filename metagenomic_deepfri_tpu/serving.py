@@ -116,6 +116,7 @@ class AnnotationServer:
                  scoring_matrix: str = "auto",
                  coord_cache: int = 4096,
                  threads: int = 1,
+                 score_topk: Optional[int] = None,
                  mesh=None):
         from metagenomic_deepfri_tpu.pipeline import \
             _initialize_processing_modes
@@ -126,11 +127,22 @@ class AnnotationServer:
                                      if config.get("gcn", {}).get(m)]
         self.modes = _initialize_processing_modes(list(modes), config)
         gcn, cnn, _ = load_models(weights, self.modes)
+        # score_topk: responses only carry scores ≥ SCORE_THRESHOLD, so the
+        # top-k compact fetch is response-identical; the rare overflow
+        # proteins (> k above-threshold terms) re-run through a lazily
+        # created dense-fetch engine below.
         self.engine = BatchedPredictor(
             gcn_models=gcn, cnn_models=cnn,
             contact_threshold=contact_threshold,
             generated_contacts=generated_contacts,
+            score_topk=score_topk,
+            score_threshold=SCORE_THRESHOLD,
             mesh=mesh)
+        self._dense_engine: Optional[BatchedPredictor] = None
+        self._engine_kwargs = dict(
+            gcn_models=gcn, cnn_models=cnn,
+            contact_threshold=contact_threshold,
+            generated_contacts=generated_contacts, mesh=mesh)
         self.max_eval = max_eval
         self.min_ident = min_ident
         self.min_coverage = min_coverage
@@ -237,10 +249,41 @@ class AnnotationServer:
 
         cnn_items = [(qid, seq) for qid, seq in remaining.items()]
 
+        overflow: Dict[str, Dict[str, set]] = {"gcn": {}, "cnn": {}}
+
+        def _overflow(net):
+            def cb(mode, qids):
+                overflow[net].setdefault(mode, set()).update(qids)
+            return cb
+
         gcn_scores = (self.engine.predict_gcn_from_coords(
-            gcn_items, modes=self.modes) if gcn_items else {})
+            gcn_items, modes=self.modes, overflow_cb=_overflow("gcn"))
+            if gcn_items else {})
         cnn_scores = (self.engine.predict_cnn(
-            cnn_items, modes=self.modes) if cnn_items else {})
+            cnn_items, modes=self.modes, overflow_cb=_overflow("cnn"))
+            if cnn_items else {})
+
+        # Dense re-run of top-k overflows (see __init__): guarantees the
+        # response carries every above-threshold term.
+        if any(overflow["gcn"].values()) or any(overflow["cnn"].values()):
+            if self._dense_engine is None:
+                self._dense_engine = BatchedPredictor(**self._engine_kwargs)
+            gcn_by_qid = {it[0]: it for it in gcn_items}
+            for mode, qids in overflow["gcn"].items():
+                fix_items = [gcn_by_qid[q] for q in sorted(qids)
+                             if q in gcn_by_qid]
+                if fix_items:
+                    fixed = self._dense_engine.predict_gcn_from_coords(
+                        fix_items, modes=[mode])
+                    gcn_scores[mode].update(fixed[mode])
+            cnn_by_qid = dict(cnn_items)
+            for mode, qids in overflow["cnn"].items():
+                fix_items = [(q, cnn_by_qid[q]) for q in sorted(qids)
+                             if q in cnn_by_qid]
+                if fix_items:
+                    fixed = self._dense_engine.predict_cnn(
+                        fix_items, modes=[mode])
+                    cnn_scores[mode].update(fixed[mode])
 
         results: Dict[str, dict] = {}
         for qid in queries:

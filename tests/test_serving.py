@@ -227,3 +227,54 @@ class TestMicroBatching:
         srv, seqs = server
         out = srv.submit({"solo": _mutate(seqs["af_1"], 2)}, timeout=120)
         assert out["results"]["solo"]["target"] == "af_1"
+
+
+class TestScoreTopKServer:
+    def test_topk_server_response_identical(self, tmp_path):
+        """A score_topk server returns the exact same annotations as a dense
+        one — including via the dense overflow re-run (random heads put
+        ~half of a 600-term vocabulary above the threshold)."""
+        import dataclasses
+
+        from metagenomic_deepfri_tpu.serving import AnnotationServer
+
+        n_labels = 600  # > 2 * 256 → compaction engages
+        gcn_cfg = dataclasses.replace(GCN_CFG, n_labels=n_labels)
+        cnn_cfg = dataclasses.replace(CNN_CFG, n_labels=n_labels)
+        weights = tmp_path / "weights"
+        weights.mkdir()
+        key = jax.random.PRNGKey(8)
+        terms = [f"GO:{i:07d}" for i in range(n_labels)]
+        for mode in ("mf", "bp", "cc", "ec"):
+            k1, k2, key = jax.random.split(key, 3)
+            gname = (f"DeepFRI-MERGED_GraphConv_gcd_8_fcd_16_ca_10.0_"
+                     f"{mode}.onnx")
+            cname = f"DeepCNN-MERGED_{mode}.onnx"
+            export_gcn_to_onnx(init_gcn(k1, gcn_cfg), gcn_cfg,
+                               str(weights / gname))
+            export_cnn_to_onnx(init_cnn(k2, cnn_cfg), cnn_cfg,
+                               str(weights / cname))
+            for name in (gname, cname):
+                with open(weights / (name[:-5] + "_model_params.json"),
+                          "w") as f:
+                    json.dump({"goterms": terms,
+                               "gonames": [f"t{i}"
+                                           for i in range(n_labels)]}, f)
+        generate_config_json(weights, "1.0")
+
+        structures = tmp_path / "structures"
+        structures.mkdir()
+        base = _rand_seq(70)
+        write_ca_pdb(structures / "af_x.pdb", base, _walk(len(base)))
+
+        queries = {"q_hit": _mutate(base, 2), "q_nohit": _rand_seq(45)}
+        dense_srv = AnnotationServer(weights, databases=[structures],
+                                     processing_modes=["mf"], threads=2)
+        topk_srv = AnnotationServer(weights, databases=[structures],
+                                    processing_modes=["mf"], threads=2,
+                                    score_topk=256)
+        ref = dense_srv.annotate(dict(queries))
+        got = topk_srv.annotate(dict(queries))
+        assert got == ref
+        # sanity: annotations actually present and the overflow regime hit
+        assert len(ref["results"]["q_hit"]["scores"]["mf"]) > 256
