@@ -30,6 +30,7 @@ import csv
 import json
 import sys
 import time
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -124,12 +125,13 @@ def build_weights(weights_dir: Path):
         else:
             gcn_params.update(shared_trunk)
         _calibrate_head(gcn_params, n_labels[mode],
-                        np.random.default_rng(hash(mode) % 2**31))
+                        np.random.default_rng(zlib.crc32(mode.encode())))
         export_gcn_to_onnx(gcn_params, gcn_cfg,
                            str(weights_dir / gcn_name))
         cnn_params = init_cnn(k2, cnn_cfg)
         _calibrate_head(cnn_params, n_labels[mode],
-                        np.random.default_rng(hash("c" + mode) % 2**31))
+                        np.random.default_rng(
+                            zlib.crc32(("c" + mode).encode())))
         export_cnn_to_onnx(cnn_params, cnn_cfg,
                            str(weights_dir / cnn_name))
         terms = [f"GO:{i:07d}" for i in range(n_labels[mode])]

@@ -306,7 +306,12 @@ class BatchedPredictor:
         buckets: length-bucket boundaries.
         spmm: GraphConv aggregation strategy — 'auto' (per-bucket choice
             from the measured table in :mod:`.spmm_table`), 'xla', or
-            'pallas'.
+            'pallas'. Multi-mode shared-trunk batches use the dense XLA
+            adjacency path under 'auto' without consulting the table: the
+            measured table (BENCH_MATRIX.json, real chip) has XLA winning
+            every (bucket, dtype) cell, so a per-bucket lookup could never
+            pick differently today. A forced ``spmm='pallas'`` opts out of
+            shared-trunk batches entirely and dispatches per mode.
         score_topk: if set, heads with more than 2·K labels return only the
             top-K (value, index) pairs from the device — an ~8× smaller
             device→host fetch for the BP head (3992 terms), whose dense
@@ -363,6 +368,10 @@ class BatchedPredictor:
             raise ValueError(
                 f"spmm must be 'auto', 'xla' or 'pallas', got {spmm!r}")
         self.spmm = spmm
+        if score_topk is not None and int(score_topk) < 1:
+            raise ValueError(
+                f"score_topk must be >= 1 (or None to disable), got "
+                f"{score_topk!r}")
         self.score_topk = int(score_topk) if score_topk else None
         self.score_threshold = float(score_threshold)
         # Optional jax.sharding.Mesh: packed batches shard over its 'data'

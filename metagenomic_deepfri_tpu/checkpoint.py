@@ -12,6 +12,11 @@ interrupted catalogue annotation resumes where it stopped:
 - on restart, :meth:`PredictionCheckpoint.completed` reports which queries
   already have every requested mode for a network, and the pipeline excludes
   them from the work list;
+- queries whose streamed top-k scores were threshold-INcomplete (the engine's
+  ``overflow_cb``) are recorded in an append-only ``overflow.log`` the moment
+  they are detected, and struck out again once the dense re-run has written
+  their corrected scores — so a crash between streaming and the re-run still
+  re-computes them densely on resume instead of trusting the truncated rows;
 - the checkpoint directory is removed after ``results.tsv`` is written
   (unless ``keep=True``).
 """
@@ -37,6 +42,7 @@ class PredictionCheckpoint:
         self.dir = pathlib.Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self._scores: Dict[str, Dict[str, Dict[str, np.ndarray]]] = {}
+        self._overflow: Dict[str, Dict[str, Set[str]]] = {}
         self._n_parts = 0
         self._load_existing()
 
@@ -60,6 +66,32 @@ class PredictionCheckpoint:
                     for q in net.values())
             logger.info("Resumed prediction checkpoint: %d score vectors "
                         "from %d parts.", n, len(parts))
+        log = self.dir / "overflow.log"
+        if log.exists():
+            for line in log.read_text(encoding="utf-8").splitlines():
+                fields = line.split(_SEP)
+                if len(fields) != 4:  # truncated trailing line from a crash
+                    continue
+                op, net, mode, qid = fields
+                pend = self._overflow.setdefault(net, {}).setdefault(
+                    mode, set())
+                if op == "OVER":
+                    pend.add(qid)
+                elif op == "DONE":
+                    pend.discard(qid)
+            n_pend = sum(len(q) for net in self._overflow.values()
+                         for q in net.values())
+            if n_pend:
+                logger.info("Resumed %d pending top-k overflow entries "
+                            "(will be re-run with dense score fetch).",
+                            n_pend)
+
+    def _append_overflow(self, op: str, net: str, mode: str,
+                         qids: Iterable[str]) -> None:
+        with open(self.dir / "overflow.log", "a", encoding="utf-8") as f:
+            for qid in qids:
+                f.write(f"{op}{_SEP}{net}{_SEP}{mode}{_SEP}{qid}\n")
+            f.flush()
 
     def add(self, net: str, partial: Dict[str, Dict[str, np.ndarray]]) -> None:
         """Flush one engine result group ({mode: {qid: scores}}) to disk."""
@@ -78,6 +110,38 @@ class PredictionCheckpoint:
         np.savez(tmp, **payload)
         tmp.rename(part)  # atomic publish
         self._n_parts += 1
+
+    def mark_overflow(self, net: str, mode: str,
+                      qids: Iterable[str]) -> None:
+        """Persist that ``qids``'s streamed top-k rows are incomplete.
+
+        Written before the dense re-run happens, so a crash in between
+        leaves the marks on disk and :meth:`overflow` re-surfaces them on
+        resume.
+        """
+        qids = [q for q in qids]
+        if not qids:
+            return
+        self._overflow.setdefault(net, {}).setdefault(mode, set()).update(
+            qids)
+        self._append_overflow("OVER", net, mode, qids)
+
+    def resolve_overflow(self, net: str, mode: str,
+                         qids: Iterable[str]) -> None:
+        """Strike out overflow marks whose dense scores were checkpointed."""
+        qids = [q for q in qids]
+        if not qids:
+            return
+        pend = self._overflow.get(net, {}).get(mode)
+        if pend:
+            pend.difference_update(qids)
+        self._append_overflow("DONE", net, mode, qids)
+
+    def overflow(self, net: str) -> Dict[str, Set[str]]:
+        """Pending (not yet densely re-run) overflow qids: {mode: {qid}}."""
+        return {mode: set(qids)
+                for mode, qids in self._overflow.get(net, {}).items()
+                if qids}
 
     # -- queries -------------------------------------------------------------
 

@@ -363,8 +363,14 @@ def predict_protein_function(
     overflow: Dict[str, Dict[str, set]] = {"gcn": {}, "cnn": {}}
 
     def _overflow_collector(net: str):
+        # Marks are persisted (ckpt.mark_overflow) the moment the engine
+        # reports them: the streamed checkpoint part for these qids holds
+        # top-k-truncated rows, so a crash before the dense re-run must
+        # leave a durable record that they still need dense scores.
         def cb(mode, qids):
+            qids = set(qids)
             overflow[net].setdefault(mode, set()).update(qids)
+            ckpt.mark_overflow(net, mode, sorted(qids))
         return cb
     # Pre-compile the buckets this workload will actually hit, on a
     # background thread — overlaps executable compile/load with the
@@ -501,7 +507,12 @@ def predict_protein_function(
     # Dense re-run of top-k overflows: proteins with > score_topk terms at
     # or above the threshold get exact threshold-complete rows (their
     # checkpoint parts are re-written, so a crash-resume also sees the
-    # corrected scores — later parts win on reload).
+    # corrected scores — later parts win on reload). Pending marks from a
+    # previous crashed run (persisted in overflow.log before the crash) are
+    # folded in, so resumed runs re-compute those qids densely too.
+    for net in ("gcn", "cnn"):
+        for mode, qids in ckpt.overflow(net).items():
+            overflow[net].setdefault(mode, set()).update(qids)
     if any(overflow["gcn"].values()) or any(overflow["cnn"].values()):
         n_over = sum(len(q) for d in overflow.values() for q in d.values())
         logger.info("Re-running %d protein/mode pair(s) with dense score "
@@ -521,6 +532,7 @@ def predict_protein_function(
                     over_items, modes=[mode])
                 gcn_scores[mode].update(fixed[mode])
                 ckpt.add("gcn", fixed)
+                ckpt.resolve_overflow("gcn", mode, sorted(fixed[mode]))
         cnn_seq = dict(cnn_items)
         for mode, qids in overflow["cnn"].items():
             over_items = [(q, cnn_seq[q]) for q in sorted(qids)
@@ -529,6 +541,7 @@ def predict_protein_function(
                 fixed = dense_predictor.predict_cnn(over_items, modes=[mode])
                 cnn_scores[mode].update(fixed[mode])
                 ckpt.add("cnn", fixed)
+                ckpt.resolve_overflow("cnn", mode, sorted(fixed[mode]))
     if warmup_future is not None and warmup_future.done() \
             and warmup_future.exception():
         logger.warning("Engine warmup failed (inference itself succeeded): "

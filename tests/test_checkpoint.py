@@ -51,3 +51,35 @@ class TestPredictionCheckpoint:
         ckpt = PredictionCheckpoint(tmp_path / "ck")
         ckpt.add("gcn", {"mf": {}})
         assert list((tmp_path / "ck").glob("part-*.npz")) == []
+
+    def test_overflow_marks_survive_crash(self, tmp_path):
+        # streamed (truncated) scores checkpointed + overflow marked, then
+        # crash before the dense re-run: the resumed instance must still
+        # report the qids as pending overflow even though their modes are
+        # "completed".
+        ckpt = PredictionCheckpoint(tmp_path / "ck")
+        ckpt.add("gcn", {"mf": {"q1": _scores(1), "q2": _scores(2)}})
+        ckpt.mark_overflow("gcn", "mf", ["q1"])
+
+        resumed = PredictionCheckpoint(tmp_path / "ck")
+        assert resumed.completed("gcn", ["mf"]) == {"q1", "q2"}
+        assert resumed.overflow("gcn") == {"mf": {"q1"}}
+
+        # dense re-run writes corrected scores and strikes the mark out
+        resumed.add("gcn", {"mf": {"q1": _scores(9)}})
+        resumed.resolve_overflow("gcn", "mf", ["q1"])
+        assert resumed.overflow("gcn") == {}
+
+        again = PredictionCheckpoint(tmp_path / "ck")
+        assert again.overflow("gcn") == {}
+        np.testing.assert_array_equal(again.scores("gcn")["mf"]["q1"],
+                                      _scores(9))
+
+    def test_overflow_log_truncated_line_tolerated(self, tmp_path):
+        ckpt = PredictionCheckpoint(tmp_path / "ck")
+        ckpt.mark_overflow("cnn", "bp", ["qa", "qb"])
+        with open(tmp_path / "ck" / "overflow.log", "a",
+                  encoding="utf-8") as f:
+            f.write("OVER|cnn")  # crash mid-line
+        resumed = PredictionCheckpoint(tmp_path / "ck")
+        assert resumed.overflow("cnn") == {"bp": {"qa", "qb"}}

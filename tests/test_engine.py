@@ -545,6 +545,15 @@ class TestScoreTopK:
     N_LABELS = 40
     K = 8
 
+    def test_invalid_topk_rejected_at_construction(self):
+        import pytest
+
+        for bad in (-1, 0, 0.5, -100):
+            with pytest.raises(ValueError, match="score_topk"):
+                BatchedPredictor(score_topk=bad)
+        assert BatchedPredictor(score_topk=None).score_topk is None
+        assert BatchedPredictor(score_topk=8).score_topk == 8
+
     def _handle(self, sparse_scores=True, seed=0):
         """GCN handle whose head yields a realistic sparse score profile:
         class-1 bias +6 pushes most per-term scores far below 0.1, first
