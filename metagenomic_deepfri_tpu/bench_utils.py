@@ -10,6 +10,7 @@ BASELINE.md). ``vs_baseline`` is our proteins/s divided by that number.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -52,7 +53,9 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
                       n_labels: int = 512, batch_cap: int | None = None,
                       compute_dtype: str = "bfloat16", seed: int = 0,
                       path: str = "coords", spmm: str = "auto",
-                      with_device_loop: bool = False) -> str:
+                      with_device_loop="auto",
+                      device_only_cache: str = "BENCH_DEVICE_ONLY.json",
+                      time_budget_s: float = 150.0) -> str:
     """Time full-size GCN forwards; returns the bench JSON line.
 
     ``path='coords'`` (default, the production pipeline path) measures the
@@ -60,7 +63,18 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
     reference baseline (contact-map construction + GCN vs GCN only), shipped
     as O(L) coords. ``path='dense'`` measures the dense-adjacency path
     (reference-style inputs).
+
+    ``with_device_loop`` controls the device-only (link-free) companion
+    number that feeds ``device_only_pps``/``link_share``: ``'auto'``
+    (default) reuses a cached measurement from ``device_only_cache`` when
+    its configuration matches, and only runs the fori_loop program fresh if
+    no valid cache exists AND the headline measurement has used less than
+    ``time_budget_s`` wall-clock — so the default `python bench.py` stays
+    inside the driver's budget by construction. ``True`` forces a fresh
+    loop, ``False`` skips it (cache still consulted).
     """
+    import os
+
     import jax
 
     from metagenomic_deepfri_tpu.batching.buckets import gcn_batch_size
@@ -101,6 +115,7 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
     # steady-state throughput. Three timed passes, best-of: the tunneled
     # link's bandwidth varies several-fold between runs, and the best pass
     # is the closer estimate of the engine's actual throughput.
+    t_start = time.perf_counter()
     run(items)
     elapsed_passes = []
     for _ in range(3):
@@ -139,16 +154,46 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
             "device": str(jax.devices()[0]),
         },
     }
-    if with_device_loop:
-        dev = device_only_gcn_pps(bucket=bucket, n_labels=n_labels,
-                                  compute_dtype=compute_dtype, spmm=spmm,
-                                  batch_cap=batch_cap, seed=seed)
+    # device-only companion number: cache-first, budget-guarded
+    cache_key = {"bucket": bucket, "n_labels": n_labels,
+                 "compute_dtype": compute_dtype, "spmm": spmm,
+                 "batch": batch}
+    dev = None
+    dev_source = None
+    if with_device_loop is not True and device_only_cache \
+            and os.path.exists(device_only_cache):
+        try:
+            with open(device_only_cache, "r", encoding="utf-8") as f:
+                cached = json.load(f)
+            if cached.get("config") == cache_key:
+                dev = cached["measurement"]
+                dev_source = "cache"
+        except Exception:
+            dev = None
+    if dev is None and with_device_loop is not False:
+        spent = time.perf_counter() - t_start
+        if with_device_loop is True or spent < time_budget_s:
+            dev = device_only_gcn_pps(bucket=bucket, n_labels=n_labels,
+                                      compute_dtype=compute_dtype,
+                                      spmm=spmm, batch_cap=batch_cap,
+                                      seed=seed, reps=8)
+            dev_source = "measured"
+            if device_only_cache:
+                with open(device_only_cache, "w", encoding="utf-8") as f:
+                    json.dump({"config": cache_key, "measurement": dev},
+                              f, indent=1)
+    if dev is not None:
         result["detail"]["device_only_pps"] = dev["device_only_pps"]
         result["detail"]["device_only_mfu"] = (
             round(dev["device_only_pps"] * flops_per_protein / peak, 4)
             if peak else None)
         result["detail"]["link_share"] = round(
             max(0.0, 1.0 - pps / dev["device_only_pps"]), 3)
+        result["detail"]["device_only_source"] = dev_source
+    else:
+        result["detail"]["device_only_pps"] = None
+        result["detail"]["link_share"] = None
+        result["detail"]["device_only_source"] = "skipped (over budget)"
     return json.dumps(result)
 
 
@@ -444,7 +489,7 @@ def run_realvocab_benchmark(out_path: str = "BENCH_REALVOCAB.json") -> str:
         rows.append({"net": net, "mode": mode, "n_labels": n_labels,
                      "pps": line["value"], "detail": line["detail"]})
         print(f"# {net}/{mode} ({n_labels} terms): {line['value']} p/s",
-              flush=True)
+              file=sys.stderr, flush=True)
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump({"points": rows}, f, indent=1)
     gcn_bp = next(r["pps"] for r in rows
@@ -615,6 +660,34 @@ def device_only_gcn_pps(bucket: int = 512, n_labels: int = 512,
             "flops_per_protein": analytic_gcn_matmul_flops(config, bucket)}
 
 
+def run_mesh_benchmark() -> str:
+    """Spawn the virtual-mesh scaling benchmark in a fresh process.
+
+    ``bench_mesh`` needs 8 forced host CPU devices, which must be
+    configured before jax initialises — impossible in a process that may
+    already have touched the TPU, hence the child process.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " "
+                            "--xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, "-m", "metagenomic_deepfri_tpu.bench_mesh"],
+        env=env, capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench_mesh failed:\n{proc.stderr[-2000:]}")
+    # the child prints exactly one JSON line on stdout
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return line
+
+
 def run_spmm_matrix(buckets=(128, 256, 512, 1024, 2048),
                     dtypes=("bfloat16", "float32"),
                     spmms=("xla", "pallas"),
@@ -654,7 +727,7 @@ def run_spmm_matrix(buckets=(128, 256, 512, 1024, 2048),
                         cell["flops_per_protein"]
                     row["mfu"] = round(rate / peak, 4)
                 cells.append(row)
-                print(f"# {row}", flush=True)
+                print(f"# {row}", file=sys.stderr, flush=True)
     winners = {}
     for bucket in buckets:
         for dtype in dtypes:
