@@ -33,28 +33,10 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: pays each program's client-side
-    compile once per machine instead of once per process. (On a tunneled
-    axon chip the dominant cold cost is the server-side first execution,
-    which this cannot cache — but on directly attached hardware it removes
-    the compile from every run after the first.)"""
-    import os
-
-    try:
-        import jax
-
-        cache_dir = os.path.expanduser("~/.cache/mdeepfri_jax_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without the knob — run uncached
-
-
 def main():
     args = set(sys.argv[1:])
-    _enable_compile_cache()
+    from metagenomic_deepfri_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     if "--matrix" in args:
         from metagenomic_deepfri_tpu.bench_utils import run_spmm_matrix
         print(run_spmm_matrix())

@@ -254,6 +254,9 @@ def main():
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
 
+    from metagenomic_deepfri_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     rows = []
     for size in sizes:
         print(f"== {size} sequences ==", flush=True)

@@ -82,9 +82,6 @@ class AlignmentResult:
         self.insert_gaps()
         self.db_name = db_name
         self.coords = coords
-        self.target_coords = None
-        self.cmap = None
-        self.aligned_cmap = None
 
     def __repr__(self):
         return (f"AlignmentResult(query_name={self.query_name}, "

@@ -390,6 +390,14 @@ class BatchedPredictor:
         self._flat_cap = {}
         self._flat_cap_lock = threading.Lock()
         self._cnn_jit = {}
+        self._cnn_multi_jit = {}
+        # (family, bucket) → set of batch sizes whose programs are compiled
+        # (or compiling). Dispatch prefers ANY ready shape that fits over
+        # compiling a fresh power-of-two one: a slightly over-sized batch
+        # costs milliseconds of padded compute, a fresh executable costs
+        # seconds-to-minutes of compile. Families: "gcn" | "cnn".
+        self._ready_shapes: Dict[tuple, set] = {}
+        self._ready_lock = threading.Lock()
         # Shared-trunk multi-mode evaluation: when every loaded GCN mode
         # carries a bitwise-identical LSTM-LM (the published models share
         # one frozen pretrained LM), a multi-mode batch computes the shared
@@ -649,6 +657,99 @@ class BatchedPredictor:
             self._cnn_jit[mode] = self._jit(step, (2, 1))
         return self._cnn_jit[mode]
 
+    def _cnn_multi_step(self, modes: tuple):
+        """ONE jitted program evaluating every requested CNN mode.
+
+        Unlike the GCN multi-mode step this shares no parameters — the win
+        is program count: one executable + one dispatch per batch instead
+        of one per mode. Executable compile/first-load dominates small and
+        medium runs (measured at tens of seconds per program on a loaded
+        service), and XLA is free to interleave the three independent
+        trunks within the one program.
+        """
+        key = tuple(modes)
+        if key not in self._cnn_multi_jit:
+            cfgs = {m: self.cnn_models[m].config for m in key}
+
+            def step(params_by_mode, tokens, lengths):
+                return {m: self._compact_scores(
+                    cnn_forward(params_by_mode[m], cfgs[m], tokens, lengths),
+                    cfgs[m].n_labels) for m in key}
+
+            self._cnn_multi_jit[key] = self._jit(step, (2, 1))
+        return self._cnn_multi_jit[key]
+
+    def _cnn_dispatch(self, modes, tokens_d, lengths_d) -> dict:
+        """{mode: step output} for one CNN batch (multi-mode program when
+        more than one mode is requested)."""
+        if len(modes) > 1:
+            params = {m: self.cnn_models[m].params for m in modes}
+            return dict(self._cnn_multi_step(tuple(modes))(
+                params, tokens_d, lengths_d))
+        return {m: self._cnn_step(m)(self.cnn_models[m].params, tokens_d,
+                                     lengths_d) for m in modes}
+
+    # -- batch-shape selection -------------------------------------------------
+
+    def _steady_batch(self, bucket: int, is_gcn: bool) -> int:
+        """The full production batch size for a bucket (mesh-scaled, capped)."""
+        batch = (gcn_batch_size(bucket) if is_gcn
+                 else cnn_batch_size(bucket)) * self._data_parallel
+        if self.batch_cap:
+            batch = min(batch, self.batch_cap)
+        return batch
+
+    def _register_shape(self, family: str, bucket: int, batch: int) -> None:
+        with self._ready_lock:
+            self._ready_shapes.setdefault((family, bucket), set()).add(batch)
+
+    def _ready_batch(self, family: str, bucket: int, n: int,
+                     steady: int) -> Optional[int]:
+        """Smallest already-compiled batch that fits ``n`` items, or None.
+
+        Shapes larger than ``steady`` are never proposed (they only exist if
+        a caller forced them) so reuse cannot exceed the per-bucket memory
+        envelope the batch rule guarantees.
+        """
+        with self._ready_lock:
+            ready = sorted(self._ready_shapes.get((family, bucket), ()))
+        for b in ready:
+            if n <= b <= max(steady, n):
+                return b
+        return None
+
+    def _menu_batch(self, n: int, steady: int) -> int:
+        """The two-shape batch menu: ``min(128, steady)`` for small work,
+        ``steady`` otherwise.
+
+        A coarse menu (instead of power-of-two sizing) means AT MOST two
+        compiled programs per (family, bucket) ever exist, and — crucially —
+        different workload sizes in one process produce byte-identical
+        programs, so a 10-protein run that follows a 10k-protein run (or a
+        warmed server) compiles nothing. Padding a 128-row batch for 3
+        proteins wastes milliseconds of device time; a third program shape
+        costs a full compile + first-execution.
+        """
+        small = min(128, steady)
+        return small if n <= small else steady
+
+    def _pick_batch(self, family: str, bucket: int, n: int,
+                    is_gcn: bool) -> int:
+        """Choose (and register) the dispatch batch size for ``n`` items.
+
+        Preference order: an already-compiled shape that fits (no compile,
+        bounded padding) → the two-entry batch menu (bounded program set,
+        shared across workload sizes).
+        """
+        steady = self._steady_batch(bucket, is_gcn)
+        batch = self._ready_batch(family, bucket, n, steady)
+        if batch is None:
+            batch = self._menu_batch(n, steady)
+        if batch % self._data_parallel:
+            batch += self._data_parallel - batch % self._data_parallel
+        self._register_shape(family, bucket, batch)
+        return batch
+
     # -- public API ------------------------------------------------------------
 
     def _expand_mode_outputs(self, mode: str, outputs, chunk_items,
@@ -740,26 +841,29 @@ class BatchedPredictor:
         # per (bucket, mode) — program count, not FLOPs, dominates latency
         # for a handful of proteins (each fresh executable pays a
         # compile/load cost; padding waste is irrelevant at this scale).
-        if len(plan) > 1 and len(items) <= 64:
-            top = max(plan)
-            plan = {top: [i for b in sorted(plan) for i in plan[b]]}
+        #
+        # The CNN collapses at EVERY scale (standard buckets only): its conv
+        # trunk costs ~0.3 MFLOP/residue, so padding the whole workload to
+        # the largest needed bucket wastes milliseconds of device time while
+        # saving one executable compile per (bucket, mode) — compiles are
+        # seconds each and dominated every measured CNN phase. Ad-hoc
+        # oversize buckets (> the configured ceiling) stay separate so one
+        # 8k-residue outlier cannot drag every sequence to its length.
+        max_std = max(self.buckets)
+        std_buckets = [b for b in plan if b <= max_std]
+        if len(std_buckets) > 1 and (not is_gcn or len(items) <= 64):
+            top = max(std_buckets)
+            merged = [i for b in sorted(std_buckets) for i in plan[b]]
+            plan = {b: idxs for b, idxs in plan.items() if b > max_std}
+            plan[top] = merged
 
+        family = "gcn" if is_gcn else "cnn"
         ctx = (jax.default_matmul_precision(self.matmul_precision)
                if self.matmul_precision else _nullcontext())
         with ctx:
             for bucket in sorted(plan):
                 idxs = plan[bucket]
-                batch = (gcn_batch_size(bucket) if is_gcn
-                         else cnn_batch_size(bucket)) * self._data_parallel
-                if self.batch_cap:
-                    batch = min(batch, self.batch_cap)
-                # Small workloads: compile a power-of-two-sized program that
-                # fits the work instead of the full steady-state batch (a
-                # B=2048 one-off compile for a handful of proteins dominates
-                # CLI latency). Bounded shape variants: powers of two only.
-                batch = min(batch, _pow2_at_least(len(idxs)))
-                if batch % self._data_parallel:
-                    batch += self._data_parallel - batch % self._data_parallel
+                batch = self._pick_batch(family, bucket, len(idxs), is_gcn)
                 if net == "gcn_coords":
                     self._run_coords_bucket(items, idxs, bucket, batch, modes,
                                             out, progress_cb,
@@ -849,11 +953,9 @@ class BatchedPredictor:
                                                     False)
                     tokens_d = jax.device_put(tokens)
                     lengths_d = jax.device_put(lengths)
+                    by_mode = self._cnn_dispatch(modes, tokens_d, lengths_d)
                     for mode in modes:
-                        params = self.cnn_models[mode].params
-                        per_mode[mode].append(
-                            self._cnn_step(mode)(params, tokens_d,
-                                                 lengths_d))
+                        per_mode[mode].append(by_mode[mode])
                 drain_futs.append(
                     drainer.submit(drain, chunk_items, per_mode))
             for f in drain_futs:
@@ -967,95 +1069,172 @@ class BatchedPredictor:
 
     # -- warmup --------------------------------------------------------------
 
+    def _warm_shapes(self, expected: Optional[Dict[int, int]],
+                     buckets: Optional[Sequence[int]],
+                     is_gcn: bool) -> List[Tuple[int, int]]:
+        """The (bucket, batch) warmup plan mirroring dispatch's choices.
+
+        Without ``expected`` (a {bucket: item_count} histogram of the
+        upcoming workload) every requested bucket warms at its steady-state
+        batch — correct for long steady runs, wasteful for small ones. With
+        a histogram, the plan compiles exactly what dispatch will pick:
+
+        - CNN: one program at the largest standard bucket needed (the CNN
+          collapses standard buckets at every scale — see ``_run``).
+        - GCN: the steady shape for each bucket that will fill at least one
+          full batch, plus ONE straggler catch-all at the largest needed
+          bucket sized to the expected leftover count (the residual flush
+          routes every straggler through compiled shapes).
+        """
+        if expected is None:
+            return [(b, self._steady_batch(b, is_gcn))
+                    for b in (buckets or self.buckets)]
+        max_std = max(self.buckets)
+        shapes: List[Tuple[int, int]] = []
+        if not is_gcn:
+            std = {b: c for b, c in expected.items() if b <= max_std and c}
+            if std:
+                top = max(std)
+                shapes.append((top, self._menu_batch(
+                    sum(std.values()), self._steady_batch(top, False))))
+            for b, c in expected.items():
+                if b > max_std and c:
+                    shapes.append((b, self._menu_batch(
+                        c, self._steady_batch(b, False))))
+            return shapes
+        residual = 0
+        top_needed = 0
+        for b in sorted(expected):
+            c = expected[b]
+            if not c:
+                continue
+            steady = self._steady_batch(b, True)
+            if b > max_std:
+                shapes.append((b, self._menu_batch(c, steady)))
+                continue
+            top_needed = max(top_needed, b)
+            if c >= steady:
+                # remainders reuse this bucket's steady shape at flush time
+                shapes.append((b, steady))
+            else:
+                residual += c
+        if residual and top_needed:
+            shapes.append((top_needed, self._menu_batch(
+                residual, self._steady_batch(top_needed, True))))
+        return shapes
+
     def warmup(self, modes: Optional[Iterable[str]] = None,
                nets: Sequence[str] = ("gcn_coords", "cnn"),
                buckets: Optional[Sequence[int]] = None,
-               background: bool = True):
-        """Compile + first-execute every (bucket, net, mode) program.
+               background: bool = True,
+               expected: Optional[Dict[int, int]] = None):
+        """Compile + first-execute the programs dispatch will actually use.
 
-        First execution of a fresh executable can cost seconds (backend
-        compile/load); a pipeline that warms the engine while the CPU-side
-        search/alignment phase runs starts inference hot. Dummy batches use
-        half-bucket lengths (the typical occupancy, so the flat-wire
-        capacity high-water mark lands on the production shape).
+        ``expected`` is an optional {bucket: item_count} histogram of the
+        upcoming workload (e.g. from the query file's length distribution);
+        with it, warmup compiles exactly the shapes production dispatch
+        will pick — steady batches for buckets that fill, one straggler
+        catch-all, one collapsed CNN program — instead of every bucket's
+        full-size program. First execution of a fresh executable can cost
+        seconds (backend compile/load); a pipeline that warms the engine
+        while the CPU-side search/alignment phase runs starts inference
+        hot. Dummy batches use half-bucket lengths (the typical occupancy,
+        so the flat-wire capacity high-water mark lands on the production
+        shape).
 
         Returns a ``concurrent.futures.Future`` when ``background`` (wait
         on it to observe errors), else runs synchronously.
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        def _run_warmup():
-            # Same matmul-precision context as _run/stream: precision is part
-            # of the jit trace key, so warming outside it would compile every
-            # executable under the wrong precision and the first real batch
-            # would retrace everything (warmup would be a no-op).
+        def _warm_one(net: str, warm_modes, bucket: int, batch: int):
+            # Same matmul-precision context as _run/stream — per THREAD,
+            # because the precision config is thread-local and is part of
+            # the jit trace key: warming outside it would compile every
+            # executable under the wrong precision and the first real
+            # batch would retrace everything (warmup would be a no-op).
             ctx = (jax.default_matmul_precision(self.matmul_precision)
                    if self.matmul_precision else _nullcontext())
             with ctx:
-                _run_warmup_body()
-
-        def _run_warmup_body():
-            for bucket in (buckets or self.buckets):
-                for net in nets:
-                    is_gcn = net == "gcn_coords"
-                    handles = self.gcn_models if is_gcn else self.cnn_models
-                    warm_modes = [m for m in (modes or handles) if m in
-                                  handles]
-                    if not warm_modes:
-                        continue
-                    batch = ((gcn_batch_size(bucket) if is_gcn
-                              else cnn_batch_size(bucket))
-                             * self._data_parallel)
-                    if self.batch_cap:
-                        batch = min(batch, self.batch_cap)
-                    L = max(bucket // 2, 1)
-                    seq = "A" * L
-                    if is_gcn:
-                        items = [(f"_warm{i}", seq,
-                                  np.zeros((L, 3), np.float32),
-                                  np.zeros(L, bool))
-                                 for i in range(batch)]
-                        # warm the program production dispatch will use:
-                        # the multi-mode step when sharing applies, else
-                        # the per-mode steps
-                        mk = self._multi_key(warm_modes)
-                        if self.mesh is None:
-                            cap = self._flat_cap_for(batch * L, bucket,
-                                                     batch)
-                            x = jax.device_put(
-                                _pack_coords_flat(items, batch, cap))
-                            args = self._flat_unpack(batch, bucket)(x)
-                            if mk:
-                                shared_p, pm = self._multi_params(mk)
-                                outs = [self._gcn_multi_args_step(mk)(
-                                    shared_p, pm, *args)]
-                            else:
-                                outs = [self._gcn_coords_args_step(m)(
-                                    self.gcn_models[m].params, *args)
-                                    for m in warm_modes]
+                is_gcn = net == "gcn_coords"
+                L = max(bucket // 2, 1)
+                seq = "A" * L
+                if is_gcn:
+                    items = [(f"_warm{i}", seq,
+                              np.zeros((L, 3), np.float32),
+                              np.zeros(L, bool))
+                             for i in range(batch)]
+                    # warm the program production dispatch will use:
+                    # the multi-mode step when sharing applies, else
+                    # the per-mode steps
+                    mk = self._multi_key(warm_modes)
+                    if self.mesh is None:
+                        cap = self._flat_cap_for(batch * L, bucket, batch)
+                        x = jax.device_put(
+                            _pack_coords_flat(items, batch, cap))
+                        args = self._flat_unpack(batch, bucket)(x)
+                        if mk:
+                            shared_p, pm = self._multi_params(mk)
+                            outs = [self._gcn_multi_args_step(mk)(
+                                shared_p, pm, *args)]
                         else:
-                            x = jax.device_put(
-                                _pack_coords_mega(items, bucket, batch))
-                            if mk:
-                                shared_p, pm = self._multi_params(mk)
-                                outs = [self._gcn_multi_packed_step(mk)(
-                                    shared_p, pm, x)]
-                            else:
-                                outs = [self._gcn_coords_step(m)(
-                                    self.gcn_models[m].params, x)
-                                    for m in warm_modes]
+                            outs = [self._gcn_coords_args_step(m)(
+                                self.gcn_models[m].params, *args)
+                                for m in warm_modes]
                     else:
-                        tokens, lengths, _ = _pad_batch(
-                            [(f"_warm{i}", seq) for i in range(batch)],
-                            bucket, batch, False)
-                        t_d = jax.device_put(tokens)
-                        l_d = jax.device_put(lengths)
-                        outs = [self._cnn_step(m)(
-                            self.cnn_models[m].params, t_d, l_d)
-                            for m in warm_modes]
-                    jax.block_until_ready(outs)
-            logger.info("Engine warm: %d bucket(s) × %s compiled.",
-                        len(buckets or self.buckets), list(nets))
+                        x = jax.device_put(
+                            _pack_coords_mega(items, bucket, batch))
+                        if mk:
+                            shared_p, pm = self._multi_params(mk)
+                            outs = [self._gcn_multi_packed_step(mk)(
+                                shared_p, pm, x)]
+                        else:
+                            outs = [self._gcn_coords_step(m)(
+                                self.gcn_models[m].params, x)
+                                for m in warm_modes]
+                else:
+                    tokens, lengths, _ = _pad_batch(
+                        [(f"_warm{i}", seq) for i in range(batch)],
+                        bucket, batch, False)
+                    t_d = jax.device_put(tokens)
+                    l_d = jax.device_put(lengths)
+                    outs = list(self._cnn_dispatch(
+                        warm_modes, t_d, l_d).values())
+                jax.block_until_ready(outs)
+
+        def _run_warmup():
+            # One thread per program shape: the backend compiles and
+            # first-loads distinct executables CONCURRENTLY (measured: 3
+            # fresh programs warm in the wall-clock of 1), so total warm
+            # latency ≈ the slowest single program, not the sum.
+            tasks = []
+            for net in nets:
+                handles = (self.gcn_models if net == "gcn_coords"
+                           else self.cnn_models)
+                warm_modes = [m for m in (modes or handles) if m in handles]
+                if not warm_modes:
+                    continue
+                family = "gcn" if net == "gcn_coords" else "cnn"
+                for bucket, batch in self._warm_shapes(
+                        expected, buckets, net == "gcn_coords"):
+                    if batch % self._data_parallel:
+                        batch += (self._data_parallel
+                                  - batch % self._data_parallel)
+                    # registered before compiling so concurrent dispatch
+                    # reuses (and blocks on) this shape instead of
+                    # compiling a second one
+                    self._register_shape(family, bucket, batch)
+                    tasks.append((net, warm_modes, bucket, batch))
+            if not tasks:
+                return
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(tasks)),
+                    thread_name_prefix="engine-warm") as pool:
+                futs = [pool.submit(_warm_one, *t) for t in tasks]
+                for f in futs:
+                    f.result()
+            logger.info("Engine warm: %d program shape(s) compiled for %s.",
+                        len(tasks), list(nets))
 
         if not background:
             _run_warmup()
@@ -1111,18 +1290,15 @@ class BatchedPredictor:
             if progress_cb:
                 progress_cb(len(chunk))
 
+        family = "gcn" if is_gcn else "cnn"
+
         def dispatch(bucket, chunk):
             nonlocal processed
-            batch = ((gcn_batch_size(bucket) if is_gcn
-                      else cnn_batch_size(bucket)) * self._data_parallel)
-            if self.batch_cap:
-                batch = min(batch, self.batch_cap)
-            # Final/partial flushes compile a power-of-two program sized to
-            # the chunk, not the full steady-state batch (a B=2048 compile
-            # for a handful of stragglers dominates small-run latency).
-            batch = min(max(batch, len(chunk)), _pow2_at_least(len(chunk)))
-            if batch % self._data_parallel:
-                batch += self._data_parallel - batch % self._data_parallel
+            # Full buckets hit the steady-state shape; partial flushes
+            # reuse ANY already-compiled shape that fits (warmup seeds
+            # these from the workload's length histogram) before falling
+            # back to a fresh power-of-two program.
+            batch = self._pick_batch(family, bucket, len(chunk), is_gcn)
             scores = {}
             if is_gcn:
                 mk = self._multi_key(modes)
@@ -1154,8 +1330,7 @@ class BatchedPredictor:
                 tokens, lengths, _ = _pad_batch(chunk, bucket, batch, False)
                 t_d = jax.device_put(tokens)
                 l_d = jax.device_put(lengths)
-                for m in modes:
-                    scores[m] = self._cnn_step(m)(models[m].params, t_d, l_d)
+                scores = self._cnn_dispatch(modes, t_d, l_d)
             inflight.append((chunk, scores))
             processed += len(chunk)
             while len(inflight) > max_inflight:
@@ -1168,26 +1343,59 @@ class BatchedPredictor:
                 bucket = assign_bucket(len(item[1]), self.buckets)
                 buf = buffers.setdefault(bucket, [])
                 buf.append(item)
-                batch = ((gcn_batch_size(bucket) if is_gcn
-                          else cnn_batch_size(bucket))
-                         * self._data_parallel)
-                if self.batch_cap:
-                    batch = min(batch, self.batch_cap)
-                if len(buf) >= batch:
+                if len(buf) >= self._steady_batch(bucket, is_gcn):
                     dispatch(bucket, buf)
                     buffers[bucket] = []
-            residual = {b: buf for b, buf in buffers.items() if buf}
-            if len(residual) > 1 and sum(map(len, residual.values())) <= 64:
-                # merge small straggler buckets into one program (see the
-                # small-workload collapse in _run)
-                top = max(residual)
-                merged = [it for b in sorted(residual) for it in residual[b]]
-                residual = {top: merged}
-            for bucket, buf in residual.items():
-                dispatch(bucket, buf)
+            self._flush_residual(buffers, family, is_gcn, dispatch)
             while inflight:
                 drain_one()
         return processed
+
+    def _flush_residual(self, buffers, family: str, is_gcn: bool,
+                        dispatch) -> None:
+        """End-of-stream straggler flush, engineered to avoid fresh compiles.
+
+        Per bucket, stragglers whose count fits an already-compiled shape
+        dispatch there directly. Everything else merges into the smallest
+        compiled (bucket, batch) that fits the longest leftover (chunked if
+        needed): padding a handful of batches up costs milliseconds, while
+        each avoided straggler program costs a multi-second compile. Only
+        when no compiled shape exists at all does the old small-run
+        behaviour apply (merge ≤ 64 into the top bucket, else per-bucket
+        power-of-two programs).
+        """
+        residual = {b: buf for b, buf in buffers.items() if buf}
+        if not residual:
+            return
+        leftovers: list = []
+        max_needed = 0
+        for bucket in sorted(residual):
+            buf = residual[bucket]
+            steady = self._steady_batch(bucket, is_gcn)
+            if self._ready_batch(family, bucket, len(buf), steady) is not None:
+                dispatch(bucket, buf)
+            else:
+                leftovers.extend(buf)
+                max_needed = max(max_needed, bucket)
+        if not leftovers:
+            return
+        # smallest compiled bucket that can hold the longest leftover
+        with self._ready_lock:
+            cands = sorted(
+                (b, max(batches))
+                for (fam, b), batches in self._ready_shapes.items()
+                if fam == family and b >= max_needed and batches)
+        if cands:
+            bucket, batch = cands[0]
+            for start in range(0, len(leftovers), batch):
+                dispatch(bucket, leftovers[start:start + batch])
+            return
+        if len(residual) > 1 and len(leftovers) <= 64:
+            dispatch(max_needed, leftovers)
+            return
+        regroup = bucket_plan([len(it[1]) for it in leftovers], self.buckets)
+        for bucket in sorted(regroup):
+            dispatch(bucket, [leftovers[i] for i in regroup[bucket]])
 
 
 class _nullcontext:

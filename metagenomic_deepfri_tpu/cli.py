@@ -127,6 +127,9 @@ def main(debug):
         log.setLevel(logging.DEBUG if debug else logging.INFO)
     patch_usage_error()
     setup_logging(debug)
+    # Every verb that touches the engine benefits; cheap no-op otherwise.
+    from metagenomic_deepfri_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
 
 @main.command()
@@ -318,8 +321,11 @@ def make_cmaps(input_dir, output_dir, threshold):
         residues, coords = get_residues_coordinates(
             load_structure(structure_str, filetype), chain="A")
         cmap = calculate_contact_map(coords, threshold)
-        np.save(os.path.join(output_dir, fname.replace(".pdb", "_cmap.npy")),
-                cmap)
+        # Divergence from reference cli.py:517-531, which only strips a
+        # ".pdb" suffix so an mmCIF input saves as "X.cif.npy"; we strip
+        # whichever structure extension the input actually has.
+        stem = fname[:-4] if fname.endswith((".pdb", ".cif")) else fname
+        np.save(os.path.join(output_dir, stem + "_cmap.npy"), cmap)
 
 
 @main.command()

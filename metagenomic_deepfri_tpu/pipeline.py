@@ -200,21 +200,35 @@ def _initialize_processing_modes(modes: List[str],
 
 
 def _load_blocklist(db_name: str) -> set:
-    """Known-broken FoldComp entries (reference pipeline.py:432-444 ships a
-    pickle asset for highquality_clust30; we look for the same file next to
-    the package or via MDEEPFRI_BLOCKLIST)."""
+    """Known-broken FoldComp entries for a database.
+
+    The reference filters highquality_clust30 hits against a 27,675-entry
+    pickle asset (reference ``pipeline.py:432-444``,
+    ``assets/highquality_clust30_error_ids.pkl`` — entries whose
+    decompression segfaults foldcomp). We ship the same ID set as a gzipped
+    text file (``assets/{db}_error_ids.txt.gz`` — no pickle execution on
+    load, 4× smaller) and also accept a user-supplied ``.pkl``/``.txt[.gz]``
+    via ``MDEEPFRI_BLOCKLIST``.
+    """
+    import gzip
     import os
 
     candidates = []
     env = os.environ.get("MDEEPFRI_BLOCKLIST")
     if env:
         candidates.append(pathlib.Path(env))
-    candidates.append(pathlib.Path(__file__).parent / "assets"
-                      / f"{db_name}_error_ids.pkl")
+    assets = pathlib.Path(__file__).parent / "assets"
+    candidates.append(assets / f"{db_name}_error_ids.txt.gz")
+    candidates.append(assets / f"{db_name}_error_ids.pkl")
     for path in candidates:
-        if path.exists():
+        if not path.exists():
+            continue
+        if path.suffix == ".pkl":
             with open(path, "rb") as f:
                 return set(pickle.load(f))
+        opener = gzip.open if path.suffix == ".gz" else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            return {line.strip() for line in f if line.strip()}
     return set()
 
 
@@ -372,14 +386,19 @@ def predict_protein_function(
             overflow[net].setdefault(mode, set()).update(qids)
             ckpt.mark_overflow(net, mode, sorted(qids))
         return cb
-    # Pre-compile the buckets this workload will actually hit, on a
-    # background thread — overlaps executable compile/load with the
-    # CPU-side alignment phase so inference starts hot.
+    # Pre-compile the program shapes this workload will actually dispatch
+    # (derived from the query length histogram — an upper bound for both
+    # the GCN and the CNN-fallback populations), on a background thread:
+    # executable compile/load overlaps the CPU-side alignment phase so
+    # inference starts hot, and straggler flushes reuse the warmed shapes
+    # instead of compiling fresh ones on the critical path.
+    from collections import Counter
+
     from metagenomic_deepfri_tpu.batching.buckets import assign_bucket
-    needed_buckets = sorted({assign_bucket(len(s), predictor.buckets)
-                             for s in query_file.sequences.values()})
-    warmup_future = predictor.warmup(buckets=needed_buckets) \
-        if needed_buckets else None
+    expected = Counter(assign_bucket(len(s), predictor.buckets)
+                       for s in query_file.sequences.values())
+    warmup_future = predictor.warmup(expected=dict(expected)) \
+        if expected else None
 
     # Streaming checkpoint: a killed run resumes here instead of recomputing
     # every score (the reference restarts inference from scratch).

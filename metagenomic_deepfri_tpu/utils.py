@@ -24,28 +24,52 @@ from typing import Dict, Iterable, List, Literal
 logger = logging.getLogger(__name__)
 
 
-def run_command(command: str) -> str:
-    """Run a shell command streaming combined output; raise on non-zero exit
-    (reference ``utils.py:40-91``)."""
-    process = subprocess.Popen(command,
-                               stdout=subprocess.PIPE,
-                               stderr=subprocess.STDOUT,
-                               shell=True,
-                               universal_newlines=True)
-    stdout: List[str] = []
-    assert process.stdout is not None
-    while True:
-        line = process.stdout.readline()
-        if not line:
-            break
-        stdout.append(line)
-        print(line, end="")
-    process.wait()
-    process.stdout.close()
+def run_command(command: str, echo: bool = True) -> str:
+    """Run a shell command, streaming combined stdout/stderr line-by-line
+    as it is produced (external tools like mmseqs print progress), and
+    return the full captured output. Raises RuntimeError on non-zero exit
+    (same contract as reference ``utils.py:40-91``)."""
+    captured: List[str] = []
+    with subprocess.Popen(command, shell=True, text=True,
+                          stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT) as process:
+        assert process.stdout is not None
+        for line in process.stdout:
+            captured.append(line)
+            if echo:
+                sys.stdout.write(line)
     if process.returncode != 0:
         raise RuntimeError(
             f"Command {command} failed with exit code {process.returncode}")
-    return "".join(stdout)
+    return "".join(captured)
+
+
+def enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a per-user directory.
+
+    Every distinct (program, shape) pair pays its client-side compile once
+    per MACHINE instead of once per process — the dominant cold-start cost
+    of the batched engine (a 512-step LSTM-scan program compiles in
+    seconds-to-minutes). Safe to call multiple times; silently a no-op on
+    JAX builds without the knob. Override the location with
+    ``MDEEPFRI_COMPILE_CACHE`` (set to an empty string to disable).
+    """
+    import os
+
+    cache_dir = os.environ.get(
+        "MDEEPFRI_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/mdeepfri_jax_cache"))
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - very old jax
+        logger.debug("Persistent compilation cache unavailable.",
+                     exc_info=True)
 
 
 def download_file(url: str, path) -> None:

@@ -332,8 +332,11 @@ class TestSharedTrunkMultiMode:
         out = sharded.predict_gcn_from_coords(items)
         for mode in ref:
             for q in ref[mode]:
+                # different shardings tile the matmuls differently; a few
+                # 1e-5-relative ulps across the 512-step LSTM scan is the
+                # expected cross-layout numerical envelope
                 np.testing.assert_allclose(out[mode][q], ref[mode][q],
-                                           rtol=1e-5, atol=1e-6)
+                                           rtol=5e-5, atol=1e-6)
 
     def test_warmup_compiles_multimode(self):
         handles = self._shared_handles()
@@ -720,3 +723,99 @@ class TestScoreTopK:
             for q, row in ref[mode].items():
                 nz = got[mode][q] != 0
                 np.testing.assert_array_equal(got[mode][q][nz], row[nz])
+
+
+class TestShapeReuse:
+    """Compiled-shape registry: dispatch must prefer an existing program
+    over compiling a fresh one, and warmup must seed exactly the shapes
+    production dispatch picks (compile count, not FLOPs, dominates small
+    and medium runs)."""
+
+    def _gcn_engine(self, **kw):
+        handle = ModelHandle("gcn", "mf", GCN_CFG,
+                             init_gcn(jax.random.PRNGKey(0), GCN_CFG))
+        return BatchedPredictor(gcn_models={"mf": handle}, **kw)
+
+    def test_pick_batch_prefers_ready_shape(self):
+        engine = self._gcn_engine()
+        engine._register_shape("gcn", 128, 16)
+        # 5 items would normally get the 128-wide menu shape; the ready
+        # 16-wide shape wins instead
+        assert engine._pick_batch("gcn", 128, 5, True) == 16
+        # nothing ready that fits 17 → the small menu shape
+        assert engine._pick_batch("gcn", 128, 17, True) == 128
+        # above the small menu entry → the steady batch
+        assert engine._pick_batch("gcn", 128, 500, True) == \
+            engine._steady_batch(128, True)
+
+    def test_ready_batch_never_exceeds_steady(self):
+        engine = self._gcn_engine(batch_cap=8)
+        engine._register_shape("gcn", 128, 64)  # forced oversize shape
+        assert engine._ready_batch("gcn", 128, 4, 8) is None
+
+    def test_warm_shapes_histogram_plan(self):
+        engine = self._gcn_engine(batch_cap=64,
+                                  buckets=(128, 256, 512))
+        # bucket 128 fills a steady batch; 256/512 are stragglers that
+        # merge into ONE catch-all at the largest needed bucket
+        shapes = engine._warm_shapes({128: 100, 256: 10, 512: 5},
+                                     None, is_gcn=True)
+        assert (128, 64) in shapes
+        assert (512, 64) in shapes  # straggler catch-all (menu-sized)
+        assert len(shapes) == 2
+        # CNN: one collapsed program for all standard buckets
+        cnn_shapes = engine._warm_shapes({128: 100, 256: 10, 512: 5},
+                                         None, is_gcn=False)
+        assert cnn_shapes == [(512, 64)]
+
+    def test_cnn_collapses_buckets_at_every_scale(self):
+        rng = np.random.default_rng(80)
+        params = init_cnn(jax.random.PRNGKey(2), CNN_CFG)
+        handle = ModelHandle("cnn", "bp", CNN_CFG, params)
+        engine = BatchedPredictor(cnn_models={"bp": handle},
+                                  buckets=(32, 64), batch_cap=128)
+        items = [(qid, seq) for qid, seq, _ in
+                 _mk_items(70, rng, min_len=5, max_len=60)]
+        assert len({assign_bucket(len(s), (32, 64)) for _, s in items}) == 2
+        out = engine.predict_cnn(items)
+        # only the top standard bucket compiled — even above the old ≤64
+        # small-run limit
+        assert set(engine._ready_shapes) == {("cnn", 64)}
+        for qid, seq in items[:2]:
+            single = np.asarray(forward_pass_single(params, CNN_CFG, seq))
+            np.testing.assert_allclose(out["bp"][qid], single,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_stream_flush_reuses_warmed_shapes(self):
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+
+        rng = np.random.default_rng(81)
+        engine = self._gcn_engine(buckets=(64, 128), batch_cap=16)
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        items = []
+        for i in range(9):
+            L = int(rng.integers(20, 120))
+            seq = "".join(rng.choice(list(aas), size=L))
+            coords = np.cumsum(
+                3.8 * rng.normal(size=(L, 3)).astype(np.float32), axis=0)
+            proj, ins, _ = project_alignment_coords(seq, seq, coords)
+            items.append((f"q{i}", seq, proj, ins))
+        expected = {}
+        for _, seq, _, _ in items:
+            b = assign_bucket(len(seq), engine.buckets)
+            expected[b] = expected.get(b, 0) + 1
+        engine.warmup(expected=expected, background=False)
+        warmed = {k: set(v) for k, v in engine._ready_shapes.items()}
+        got = {}
+        n = engine.predict_stream(iter(items), net="gcn_coords",
+                                  result_cb=lambda p: got.update(p["mf"]))
+        assert n == len(items)
+        # the stream dispatched exclusively through warmed programs
+        assert {k: set(v) for k, v in engine._ready_shapes.items()} == warmed
+        # and the scores match the batch API
+        ref = self._gcn_engine(buckets=(64, 128), batch_cap=16) \
+            .predict_gcn_from_coords(items)
+        for q in ref["mf"]:
+            np.testing.assert_allclose(got[q], ref["mf"][q],
+                                       rtol=1e-5, atol=1e-6)

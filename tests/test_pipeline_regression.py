@@ -362,6 +362,18 @@ def test_blocklist_loader(tmp_path, monkeypatch):
         asset.unlink()
 
 
+def test_shipped_highquality_clust30_blocklist():
+    """The highquality_clust30 blocklist ships IN the package (the reference
+    bundles the same 27,675-ID set as a pickle; we ship a gzipped ID list):
+    a real run gets foldcomp-segfault protection with zero configuration."""
+    from metagenomic_deepfri_tpu import pipeline as pl
+
+    blocklist = pl._load_blocklist("highquality_clust30")
+    assert len(blocklist) == 27675
+    assert "MGYP000008650329" in blocklist
+    assert all(i.startswith("MGYP") for i in list(blocklist)[:100])
+
+
 def test_skip_matrix_topk_results_identical(tmp_path):
     """--skip-matrix enables the engine's top-k score fetch; results.tsv
     must be byte-identical to the dense run. Uses a >2·K vocabulary with
