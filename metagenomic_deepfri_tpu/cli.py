@@ -153,6 +153,32 @@ def get_models(output, version):
     logger.info("DeepFRI models v%s downloaded to %s.", version, output_path)
 
 
+@main.command("get-binaries")
+@click.option("-o", "--output", default=None,
+              type=click.Path(file_okay=False, dir_okay=True,
+                              path_type=Path),
+              help="Install directory (default: ~/.local/share/mdeepfri/bin,"
+                   " override with MDEEPFRI_TOOLS_DIR).")
+@click.option("--tools", default="mmseqs,foldcomp", show_default=True,
+              help="Comma-separated subset of: mmseqs, foldcomp.")
+def get_binaries(output, tools):
+    """Download the external mmseqs/foldcomp engines for this CPU.
+
+    The reference vendors these binaries at build time (its setup.py
+    downloads per-arch tarballs from mmseqs.com); this verb fetches the
+    same builds on demand into a tools directory that binary discovery
+    checks automatically. Without them the package still works — built-in
+    k-mer search, FASTA / PDB-directory databases — but FoldComp (.fcz)
+    databases require foldcomp.
+    """
+    from metagenomic_deepfri_tpu.search.binaries import fetch_binaries
+
+    wanted = [t.strip() for t in tools.split(",") if t.strip()]
+    installed = fetch_binaries(output, wanted)
+    for tool, path in installed.items():
+        click.echo(f"{tool}: {path}")
+
+
 @main.command()
 @click.option("-w", "--weights_path", required=True,
               type=click.Path(exists=True, dir_okay=True, file_okay=False,

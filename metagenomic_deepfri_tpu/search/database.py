@@ -49,9 +49,10 @@ def extract_fasta_foldcomp(foldcomp_db, output_file, threads: int = 1):
                                                        foldcomp_path)
 
     if not foldcomp_available():
+        from metagenomic_deepfri_tpu.search.binaries import tool_install_hint
         raise RuntimeError(
-            "foldcomp binary not found on PATH (set MDEEPFRI_FOLDCOMP_PATH); "
-            "cannot extract FASTA from a FoldComp database.")
+            "A FoldComp (.fcz) database needs the foldcomp binary, which "
+            f"is not installed: {tool_install_hint('foldcomp')}.")
     database_name = Path(foldcomp_db).stem
     run_command(
         f"{foldcomp_path()} extract --fasta -t {threads} {foldcomp_db} "

@@ -21,11 +21,21 @@ from metagenomic_deepfri_tpu.utils import run_command
 logger = logging.getLogger(__name__)
 
 
-def mmseqs_path() -> str | None:
-    env = os.environ.get("MDEEPFRI_MMSEQS_PATH")
+def _tool_path(name: str, env_var: str) -> str | None:
+    """Discovery order: env override → `get-binaries` tools dir → PATH."""
+    from metagenomic_deepfri_tpu.search.binaries import tools_dir
+
+    env = os.environ.get(env_var)
     if env and Path(env).exists():
         return env
-    return shutil.which("mmseqs")
+    fetched = tools_dir() / name
+    if fetched.exists() and os.access(fetched, os.X_OK):
+        return str(fetched)
+    return shutil.which(name)
+
+
+def mmseqs_path() -> str | None:
+    return _tool_path("mmseqs", "MDEEPFRI_MMSEQS_PATH")
 
 
 def mmseqs_available() -> bool:
@@ -33,10 +43,7 @@ def mmseqs_available() -> bool:
 
 
 def foldcomp_path() -> str | None:
-    env = os.environ.get("MDEEPFRI_FOLDCOMP_PATH")
-    if env and Path(env).exists():
-        return env
-    return shutil.which("foldcomp")
+    return _tool_path("foldcomp", "MDEEPFRI_FOLDCOMP_PATH")
 
 
 def foldcomp_available() -> bool:

@@ -13,11 +13,23 @@ unit suite.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# MDEEPFRI_TPU_TESTS=1 leaves the real backend in place so the
+# @pytest.mark.tpu smoke module (tests/test_tpu_smoke.py) can reach the
+# actual chip:  MDEEPFRI_TPU_TESTS=1 pytest tests/test_tpu_smoke.py -q
+_USE_REAL_TPU = os.environ.get("MDEEPFRI_TPU_TESTS") == "1"
 
-import jax  # noqa: E402
+if not _USE_REAL_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
-jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs a real TPU backend (run via "
+        "MDEEPFRI_TPU_TESTS=1, skipped otherwise)")
