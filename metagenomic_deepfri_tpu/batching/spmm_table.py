@@ -27,7 +27,15 @@ from __future__ import annotations
 # bucket 2048, where the XLA path idled the MXU at 6% MFU); with
 # B·L² ≤ 512M batches the dense path's HBM adjacency traffic is hidden
 # behind the batch-parallel matmuls and recomputing tiles in VMEM only
-# costs extra FLOPs. Re-run the matrix after kernel or batch-rule changes.
+# costs extra FLOPs. Memory-pressure probes went further
+# (BENCH_MATRIX_LONG.json: buckets 4096/8192 at 2 GB adjacency;
+# BENCH_LONGPROTEIN.json: single proteins of 65,536 and 131,072 residues,
+# the latter a 34 GB adjacency that cannot exist in HBM) — XLA wins every
+# one of those too, because its fusion streams the coordinate-threshold
+# compare into the contraction without materialising the matrix. On v5e
+# there is no reachable regime where the kernel wins; it remains behind an
+# explicit spmm='pallas' for other TPU generations. Re-run the matrix
+# after kernel or batch-rule changes.
 AUTO_SPMM_TABLE: dict = {
     (128, "bfloat16"): "xla",
     (256, "bfloat16"): "xla",
