@@ -835,7 +835,6 @@ class BatchedPredictor:
             return out
         is_gcn = net in ("gcn", "gcn_coords")
         plan = bucket_plan([len(it[1]) for it in items], self.buckets)
-        models = self.gcn_models if is_gcn else self.cnn_models
         # Small one-shot workloads: collapse every bucket into the largest
         # one needed. One compiled program per (net, mode) instead of one
         # per (bucket, mode) — program count, not FLOPs, dominates latency
@@ -876,37 +875,76 @@ class BatchedPredictor:
                                          result_cb=result_cb,
                                          overflow_cb=overflow_cb)
                     continue
-                for start in range(0, len(idxs), batch):
-                    chunk = [items[i] for i in idxs[start:start + batch]]
-                    tokens, lengths, adj = _pad_batch(
-                        chunk, bucket, batch, is_gcn)
-                    args = (jnp.asarray(tokens), jnp.asarray(adj),
-                            jnp.asarray(lengths))
-                    # async dispatch: all modes queued before any fetch
+                self._run_dense_bucket(items, idxs, bucket, batch, modes,
+                                       out, progress_cb,
+                                       result_cb=result_cb,
+                                       overflow_cb=overflow_cb)
+        return out
+
+    def _run_dense_bucket(self, items, idxs, bucket: int, batch: int,
+                          modes, out, progress_cb=None, result_cb=None,
+                          overflow_cb=None):
+        """Dense uint8-adjacency bucket drain (precomputed-cmap API).
+
+        Same group/drain latency engineering as the coords path: async
+        ``device_put`` of the adjacency batch, every (batch, mode) step
+        dispatched before any fetch, one bulk device→host fetch per
+        (group, mode) on a drain thread. The adjacency transfer itself
+        stays O(B·L²) — that is this API's contract (the caller HAS dense
+        cmaps); the coords path is the production alternative.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        # adjacency dominates the group footprint: B·L² bytes per batch
+        group_batches = max(1, _MAX_MEGA_BYTES // max(bucket * bucket * batch,
+                                                      1))
+        group_rows = group_batches * batch
+        drainer = ThreadPoolExecutor(max_workers=1)
+        drain_futs = []
+
+        def drain(chunk_items, per_mode):
+            group_out = {m: {} for m in modes}
+            for mode in modes:
+                hosts = self._expand_mode_outputs(mode, per_mode[mode],
+                                                  chunk_items, "gcn",
+                                                  overflow_cb)
+                for i, item in enumerate(chunk_items):
+                    row = hosts[i // batch][i % batch]
+                    out[mode][item[0]] = row
+                    group_out[mode][item[0]] = row
+            if result_cb:
+                result_cb(group_out)
+            if progress_cb:
+                progress_cb(len(chunk_items))
+
+        try:
+            for gstart in range(0, len(idxs), group_rows):
+                gidx = idxs[gstart:gstart + group_rows]
+                chunk_items = [items[i] for i in gidx]
+                per_mode = {m: [] for m in modes}
+                for start in range(0, len(gidx), batch):
+                    chunk = chunk_items[start:start + batch]
+                    tokens, lengths, adj = _pad_batch(chunk, bucket, batch,
+                                                      True)
+                    args = (jax.device_put(tokens), jax.device_put(adj),
+                            jax.device_put(lengths))
                     mk = self._multi_key(modes)
                     if mk:
                         shared_p, pm = self._multi_params(mk)
                         by_mode = self._gcn_multi_dense_step(mk)(
                             shared_p, pm, *args)
-                        pending = [(m, by_mode[m]) for m in modes]
                     else:
-                        pending = []
-                        for mode in modes:
-                            params = models[mode].params
-                            scores = self._gcn_step(mode)(params, *args)
-                            pending.append((mode, scores))
-                    group_out = {m: {} for m in modes}
-                    for mode, scores in pending:
-                        host = self._expand_mode_outputs(
-                            mode, [scores], chunk, net, overflow_cb)[0]
-                        for i, item in enumerate(chunk):
-                            out[mode][item[0]] = host[i]
-                            group_out[mode][item[0]] = host[i]
-                    if result_cb:
-                        result_cb(group_out)
-                    if progress_cb:
-                        progress_cb(len(chunk))
-        return out
+                        by_mode = {
+                            m: self._gcn_step(m)(self.gcn_models[m].params,
+                                                 *args) for m in modes}
+                    for mode in modes:
+                        per_mode[mode].append(by_mode[mode])
+                drain_futs.append(
+                    drainer.submit(drain, chunk_items, per_mode))
+            for f in drain_futs:
+                f.result()
+        finally:
+            drainer.shutdown(wait=True)
 
     def _run_cnn_bucket(self, items, idxs, bucket: int, batch: int,
                         modes, out, progress_cb=None, result_cb=None,

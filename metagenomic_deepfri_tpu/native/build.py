@@ -51,10 +51,14 @@ def ensure_built(name: str) -> Path:
     return build(name)
 
 
+def build_all(verbose: bool = False) -> list:
+    """Compile every ``*.cpp`` in this directory (used by setup.py's
+    wheel-build hook and the module entry point)."""
+    return [ensure_built(p.stem) for p in sorted(NATIVE_DIR.glob("*.cpp"))]
+
+
 def main():
-    names = [p.stem for p in NATIVE_DIR.glob("*.cpp")]
-    for name in names:
-        path = build(name, verbose=True)
+    for path in build_all(verbose=True):
         print(f"built {path}")
     return 0
 

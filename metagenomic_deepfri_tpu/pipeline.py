@@ -22,7 +22,6 @@ batches and every requested mode runs while a batch is resident
 from __future__ import annotations
 
 import csv
-import io
 import logging
 import pathlib
 import pickle
@@ -586,20 +585,25 @@ def predict_protein_function(
         matrix_jobs_by_mode[mode] = []
 
         def write_matrix(filename, goterms, jobs):
-            """jobs: list of (query_id, net_type, scores)"""
+            """Persist one prediction matrix TSV (skipped entirely under
+            ``--skip-matrix``; unlike the reference, results.tsv is built
+            from the in-memory scores either way, so the matrices are pure
+            outputs, never re-parsed)."""
             if skip_matrix:
-                sink = io.StringIO()
-                fh = sink
-            else:
-                sink = output_path / filename
-                fh = open(sink, "w", encoding="utf-8", newline="")
-            writer = csv.writer(fh, delimiter="\t")
-            writer.writerow(["protein", "network_type"] + list(goterms))
-            for qid, net, scores in jobs:
-                writer.writerow([qid, net] + [float(s) for s in scores])
-            if not skip_matrix:
-                fh.close()
-            return sink
+                return
+            with open(output_path / filename, "w", encoding="utf-8",
+                      newline="") as fh:
+                fh.write("\t".join(["protein", "network_type"]
+                                   + list(goterms)) + "\n")
+                for qid, net, scores in jobs:
+                    # bulk C-level float formatting: a 10k-protein BP
+                    # matrix is 40M cells — per-cell float()/str() was the
+                    # slowest stage of large runs. %.9g round-trips
+                    # float32 exactly.
+                    row = np.char.mod(
+                        "%.9g", np.asarray(scores, dtype=np.float64))
+                    fh.write(qid + "\t" + net + "\t"
+                             + "\t".join(row.tolist()) + "\n")
 
         gcn_rows = [(qid, "gcn", gcn_scores[mode][qid])
                     for qid, *_ in gcn_items] if gcn_handle else []
@@ -608,26 +612,31 @@ def predict_protein_function(
 
         if split_matrices:
             if gcn_rows:
-                src = write_matrix(f"prediction_matrix_{mode}_gcn.tsv",
-                                   goterms_gcn, gcn_rows)
+                write_matrix(f"prediction_matrix_{mode}_gcn.tsv",
+                             goterms_gcn, gcn_rows)
                 matrix_jobs_by_mode[mode].append(
                     {"goterms": goterms_gcn,
-                     "gonames": gcn_handle.gonames, "matrix_source": src})
+                     "gonames": gcn_handle.gonames, "rows": gcn_rows})
             if cnn_rows:
-                src = write_matrix(f"prediction_matrix_{mode}_cnn.tsv",
-                                   goterms_cnn, cnn_rows)
+                write_matrix(f"prediction_matrix_{mode}_cnn.tsv",
+                             goterms_cnn, cnn_rows)
                 matrix_jobs_by_mode[mode].append(
                     {"goterms": goterms_cnn,
-                     "gonames": cnn_handle.gonames, "matrix_source": src})
+                     "gonames": cnn_handle.gonames, "rows": cnn_rows})
         else:
-            src = write_matrix(f"prediction_matrix_{mode}.tsv", goterms_gcn,
-                               gcn_rows + cnn_rows)
+            write_matrix(f"prediction_matrix_{mode}.tsv", goterms_gcn,
+                         gcn_rows + cnn_rows)
             handle = gcn_handle or cnn_handle
             matrix_jobs_by_mode[mode].append(
                 {"goterms": goterms_gcn or goterms_cnn,
-                 "gonames": handle.gonames, "matrix_source": src})
+                 "gonames": handle.gonames, "rows": gcn_rows + cnn_rows})
 
     # ---- final results.tsv (reference pipeline.py:657-748) --------------------
+    # Same output schema and ordering as the reference, but built from the
+    # in-memory score arrays instead of re-parsing the matrix TSVs (the
+    # reference re-reads what it just wrote): thresholding is one
+    # vectorised compare per protein, and only the surviving entries (a
+    # few per protein for calibrated models) are ever formatted.
     with open(alignment_results_file, "r", encoding="utf-8") as aln_input:
         reader = csv.reader(aln_input, delimiter="\t")
         next(reader)
@@ -639,43 +648,34 @@ def predict_protein_function(
         fout.write("\t".join(FINAL_OUTPUT_HEADER) + "\n")
         for mode, jobs in matrix_jobs_by_mode.items():
             for job in jobs:
-                source = job["matrix_source"]
+                terms = job["goterms"]
                 gonames = job["gonames"]
-                if isinstance(source, io.StringIO):
-                    source.seek(0)
-                    reader = csv.reader(
-                        source.getvalue().strip().split("\n"),
-                        delimiter="\t")
-                else:
-                    reader = csv.reader(
-                        open(source, "r", encoding="utf-8"), delimiter="\t")
-                header = next(reader)
-                terms = header[2:]
-                term_to_name = dict(zip(terms, gonames))
-                for row in reader:
-                    qid, net = row[0], row[1]
-                    scores = row[2:]
-                    if len(scores) != len(terms):
+                for qid, net, scores in job["rows"]:
+                    scores = np.asarray(scores, dtype=np.float64)
+                    if scores.shape[0] != len(terms):
                         raise ValueError(
                             f"Row length mismatch for mode {mode}: "
-                            f"{len(scores)} scores vs {len(terms)} terms.")
-                    term_score = {
-                        terms[k]: float(scores[k])
-                        for k in range(len(terms))
-                        if float(scores[k]) >= SCORE_THRESHOLD
-                    }
-                    for term, score in sorted(term_score.items(),
-                                              key=lambda kv: kv[1],
-                                              reverse=True):
-                        go_name = term_to_name.get(term, "Unknown")
-                        aln_info = alignment_data.get(qid, [np.nan] * 6)
-                        (aligned, target_id, database, target_identity,
-                         query_cov, target_cov) = aln_info
-                        fout.write(
-                            f"{qid}\t{net}\t{DEEPFRI_MODES[mode]}\t{term}\t"
-                            f"{score:.4f}\t{go_name}\t{aligned}\t{target_id}"
-                            f"\t{database}\t{target_identity}\t{query_cov}"
-                            f"\t{target_cov}\n")
+                            f"{scores.shape[0]} scores vs "
+                            f"{len(terms)} terms.")
+                    keep = np.nonzero(scores >= SCORE_THRESHOLD)[0]
+                    # descending by score; stable → term order on ties,
+                    # matching the reference's stable value sort
+                    keep = keep[np.argsort(-scores[keep], kind="stable")]
+                    if keep.size == 0:
+                        continue
+                    aln_info = alignment_data.get(qid, [np.nan] * 6)
+                    (aligned, target_id, database, target_identity,
+                     query_cov, target_cov) = aln_info
+                    suffix = (f"\t{aligned}\t{target_id}\t{database}"
+                              f"\t{target_identity}\t{query_cov}"
+                              f"\t{target_cov}\n")
+                    prefix = f"{qid}\t{net}\t{DEEPFRI_MODES[mode]}\t"
+                    for k in keep:
+                        go_name = gonames[k] if k < len(gonames) \
+                            else "Unknown"
+                        fout.write(prefix + terms[k]
+                                   + f"\t{scores[k]:.4f}\t" + go_name
+                                   + suffix)
 
     if propagate_go_terms:
         from metagenomic_deepfri_tpu.ontology.go import (download_obo,
