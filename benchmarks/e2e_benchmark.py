@@ -89,7 +89,13 @@ def _calibrate_head(params, n_labels: int, rng):
 
 def build_weights(weights_dir: Path):
     """Synthetic DeepFRI weight set exported to ONNX and loaded back through
-    the production import path (real vocabulary sizes per mode)."""
+    the production import path (real vocabulary sizes per mode).
+
+    Runs entirely on the CPU backend: this is a one-time export of random
+    weights (device-irrelevant), and eager init ops over a tunneled
+    accelerator are latency-bound — a fresh workdir's build took minutes
+    under service load vs seconds on host.
+    """
     import jax
 
     from metagenomic_deepfri_tpu.models.deepfri import (CNNConfig, GCNConfig,
@@ -101,6 +107,18 @@ def build_weights(weights_dir: Path):
     if (weights_dir / "model_config.json").exists():
         return
     weights_dir.mkdir(parents=True, exist_ok=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        _build_weights_body(weights_dir)
+    generate_config_json(weights_dir, "1.1")  # v1.1: no EC mode
+
+
+def _build_weights_body(weights_dir: Path):
+    import jax
+
+    from metagenomic_deepfri_tpu.models.deepfri import (CNNConfig, GCNConfig,
+                                                        init_cnn, init_gcn)
+    from metagenomic_deepfri_tpu.models.onnx_import import (export_cnn_to_onnx,
+                                                            export_gcn_to_onnx)
     # real per-mode vocabulary sizes (reference *_model_params.json)
     n_labels = {"bp": 3992, "cc": 320, "mf": 489}
     key = jax.random.PRNGKey(0)
@@ -140,7 +158,6 @@ def build_weights(weights_dir: Path):
             with open(weights_dir / (name[:-5] + "_model_params.json"),
                       "w", encoding="utf-8") as f:
                 json.dump({"goterms": terms, "gonames": names}, f)
-    generate_config_json(weights_dir, "1.1")  # v1.1: no EC mode
 
 
 def build_structure_db(db_dir: Path, rng) -> dict:

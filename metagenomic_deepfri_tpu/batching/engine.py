@@ -108,14 +108,31 @@ def _unpack_coords_mega(packed: jnp.ndarray):
     return coords, tokens, ins_mask, lengths
 
 
-def _tree_equal(a, b) -> bool:
-    """Bitwise equality of two pytrees (structure + every leaf)."""
+def _tree_equal_pending(a, b):
+    """Structural check + per-leaf device equality scalars (NOT fetched).
+
+    Returns None on any structure/shape/dtype mismatch, else a list of
+    0-d device booleans. Callers batch ALL pending scalars into one
+    ``jax.device_get`` — on a high-latency link, N serial ``bool()``
+    fetches at engine construction cost seconds; one batched fetch is a
+    single round trip.
+    """
     la, ta = jax.tree_util.tree_flatten(a)
     lb, tb = jax.tree_util.tree_flatten(b)
     if ta != tb or len(la) != len(lb):
+        return None
+    if any(x.shape != y.shape or x.dtype != y.dtype
+           for x, y in zip(la, lb)):
+        return None
+    return [jnp.array_equal(x, y) for x, y in zip(la, lb)]
+
+
+def _tree_equal(a, b) -> bool:
+    """Bitwise equality of two pytrees (structure + every leaf)."""
+    pending = _tree_equal_pending(a, b)
+    if pending is None:
         return False
-    return all(x.shape == y.shape and x.dtype == y.dtype
-               and bool(jnp.array_equal(x, y)) for x, y in zip(la, lb))
+    return all(jax.device_get(pending)) if pending else True
 
 
 def _detect_shared_gcn(gcn_models: Dict[str, "ModelHandle"]):
@@ -145,13 +162,31 @@ def _detect_shared_gcn(gcn_models: Dict[str, "ModelHandle"]):
             return None
         if dataclasses.replace(h.config, n_labels=cfg0.n_labels) != cfg0:
             return None
-    shared_keys = []
+    # Queue every leaf comparison, then fetch ALL verdicts in ONE
+    # device_get round trip (a dozen serial bool() fetches at engine
+    # construction cost seconds over a high-latency link).
+    pending_by_key = {}
     for k in ("lm", "lm_embed", "aa_embed"):
         sub0 = handles[0].params.get(k)
         if sub0 is None:
             continue
-        if all(_tree_equal(sub0, h.params.get(k)) for h in handles[1:]):
+        eqs = []
+        for h in handles[1:]:
+            p = _tree_equal_pending(sub0, h.params.get(k))
+            if p is None:
+                eqs = None
+                break
+            eqs.extend(p)
+        if eqs is not None:
+            pending_by_key[k] = eqs
+    flat = [e for eqs in pending_by_key.values() for e in eqs]
+    vals = list(jax.device_get(flat)) if flat else []
+    shared_keys = []
+    idx = 0
+    for k, eqs in pending_by_key.items():
+        if all(vals[idx:idx + len(eqs)]):
             shared_keys.append(k)
+        idx += len(eqs)
     if "lm" not in shared_keys:
         return None
     shared = {k: handles[0].params[k] for k in shared_keys}

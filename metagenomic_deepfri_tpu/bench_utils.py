@@ -112,13 +112,15 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
 
     # warm-up / compile: one full untimed pass covers every compiled shape
     # (buckets, flat-wire capacity variants), so the timed passes measure
-    # steady-state throughput. Three timed passes, best-of: the tunneled
-    # link's bandwidth varies several-fold between runs, and the best pass
-    # is the closer estimate of the engine's actual throughput.
+    # steady-state throughput. Five timed passes, best-of: the tunneled
+    # link's bandwidth varies several-fold DURING a run (per-pass spread of
+    # 1.5-4.6s observed), and the best pass is the closer estimate of the
+    # engine's actual throughput; two extra warm passes cost seconds and
+    # halve the run-to-run spread of the reported number.
     t_start = time.perf_counter()
     run(items)
     elapsed_passes = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         run(items)
         elapsed_passes.append(time.perf_counter() - t0)
