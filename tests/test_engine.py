@@ -819,3 +819,69 @@ class TestShapeReuse:
         for q in ref["mf"]:
             np.testing.assert_allclose(got[q], ref["mf"][q],
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestCnnMultiMode:
+    """All requested CNN modes evaluate in ONE program (no shared weights
+    needed — the win is executable count); results must equal per-mode
+    dispatch exactly."""
+
+    def _handles(self):
+        import dataclasses
+        handles = {}
+        for i, (mode, n) in enumerate((("bp", 6), ("cc", 3), ("mf", 4))):
+            cfg = dataclasses.replace(CNN_CFG, n_labels=n)
+            handles[mode] = ModelHandle(
+                "cnn", mode, cfg, init_cnn(jax.random.PRNGKey(40 + i), cfg))
+        return handles
+
+    def test_multi_matches_per_mode(self):
+        rng = np.random.default_rng(90)
+        handles = self._handles()
+        engine = BatchedPredictor(cnn_models=handles, batch_cap=4)
+        items = [(qid, seq) for qid, seq, _ in _mk_items(6, rng)]
+        got = engine.predict_cnn(items)          # multi-mode program
+        assert engine._cnn_multi_jit             # it was actually used
+        ref = {}
+        for mode in handles:
+            control = BatchedPredictor(cnn_models=handles, batch_cap=4)
+            ref[mode] = control.predict_cnn(items, modes=[mode])[mode]
+            assert not control._cnn_multi_jit    # single mode → per-mode
+        for mode in handles:
+            for q, row in ref[mode].items():
+                np.testing.assert_array_equal(got[mode][q], row)
+
+
+class TestFlushChunking:
+    def test_leftovers_chunk_through_ready_shape(self):
+        """End-of-stream leftovers larger than the biggest compiled batch
+        dispatch in chunks of it — never a fresh straggler compile."""
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+
+        rng = np.random.default_rng(91)
+        handle = ModelHandle("gcn", "mf", GCN_CFG,
+                             init_gcn(jax.random.PRNGKey(7), GCN_CFG))
+        engine = BatchedPredictor(gcn_models={"mf": handle},
+                                  buckets=(16, 32, 64), batch_cap=4)
+        # warm ONLY a (64, 4) shape; stream straggler counts (< batch 4)
+        # into buckets 16 and 32 so the end-of-stream flush holds 6
+        # leftovers with NO compiled shape of their own
+        engine.warmup(expected={64: 2}, background=False)
+        warmed = {k: set(v) for k, v in engine._ready_shapes.items()}
+        assert warmed == {("gcn", 64): {4}}
+        items = []
+        for i, L in enumerate([10, 10, 10, 25, 25, 25, 50]):
+            seq = "A" * L
+            coords = np.cumsum(
+                3.8 * rng.normal(size=(L, 3)).astype(np.float32), axis=0)
+            proj, ins, _ = project_alignment_coords(seq, seq, coords)
+            items.append((f"q{i}", seq, proj, ins))
+        got = {}
+        n = engine.predict_stream(iter(items), net="gcn_coords",
+                                  result_cb=lambda p: got.update(p["mf"]))
+        assert n == 7
+        assert len(got) == 7
+        # the 6 leftovers from buckets 16/32 merged + chunked (4 then 2)
+        # through the warmed (64, 4) program; NO new shape was compiled
+        assert {k: set(v) for k, v in engine._ready_shapes.items()} == warmed
