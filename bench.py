@@ -8,11 +8,13 @@ Baseline = reference ONNX per-protein GCN inference (20.2 proteins/s median
 on 200-400 aa proteins, 1 CPU core; see BASELINE.md and
 metagenomic_deepfri_tpu/bench_utils.py).
 
-The default mode is budgeted to finish well inside the driver's timeout by
-construction: a small number of full engine passes (the per-protein
-throughput estimate barely moves with more), plus a device-only (link-free)
-companion number that is cached in BENCH_DEVICE_ONLY.json — measured fresh
-only when no valid cache exists and the headline has wall-clock budget left.
+The default mode is budgeted AND wedge-proof by construction: the
+measurement runs in a watchdog child process (a remote-backend RPC can
+hang a process forever — observed repeatedly on the tunneled dev chip —
+while fresh processes work fine), is retried once in a new process on
+timeout, and as a last resort replays the last successful measurement from
+BENCH_LAST.json with a "stale_cache" marker so the driver always captures
+a parseable number.
 
 Modes (each still prints one JSON line; sidecar files carry the detail):
   (default)        headline GCN point with MFU + device-only/link split
@@ -26,35 +28,38 @@ Modes (each still prints one JSON line; sidecar files carry the detail):
                    → BENCH_MESH.json (collective structure proxy, not perf)
   --device-loop    force a fresh device-only measurement (refreshes cache)
   --no-device-loop never run the device-only loop (cache still consulted)
+  --inner          (internal) run the measurement in THIS process
 """
 
+import json
+import os
+import subprocess
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 1)[0])
+REPO = __file__.rsplit("/", 1)[0]
+sys.path.insert(0, REPO)
+
+LAST_GOOD = os.path.join(REPO, "BENCH_LAST.json")
+ATTEMPT_TIMEOUT_S = 240
 
 
-def main():
-    args = set(sys.argv[1:])
+def run_measurement(args):
     from metagenomic_deepfri_tpu.utils import enable_persistent_compile_cache
     enable_persistent_compile_cache()
     if "--matrix" in args:
         from metagenomic_deepfri_tpu.bench_utils import run_spmm_matrix
-        print(run_spmm_matrix())
-        return
+        return run_spmm_matrix()
     if "--multimode" in args:
         from metagenomic_deepfri_tpu.bench_utils import \
             run_multimode_benchmark
-        print(run_multimode_benchmark())
-        return
+        return run_multimode_benchmark()
     if "--realvocab" in args:
         from metagenomic_deepfri_tpu.bench_utils import \
             run_realvocab_benchmark
-        print(run_realvocab_benchmark())
-        return
+        return run_realvocab_benchmark()
     if "--mesh" in args:
         from metagenomic_deepfri_tpu.bench_utils import run_mesh_benchmark
-        print(run_mesh_benchmark())
-        return
+        return run_mesh_benchmark()
     from metagenomic_deepfri_tpu.bench_utils import run_gcn_benchmark
     if "--device-loop" in args:
         with_device_loop = True
@@ -62,8 +67,63 @@ def main():
         with_device_loop = False
     else:
         with_device_loop = "auto"
-    print(run_gcn_benchmark(bucket=512, batches=4, n_labels=512,
-                            with_device_loop=with_device_loop))
+    return run_gcn_benchmark(bucket=512, batches=4, n_labels=512,
+                             with_device_loop=with_device_loop)
+
+
+def _watchdog_attempt(args):
+    """One measurement attempt in a fresh child process; None on failure.
+
+    The child is its own process group so a wedged attempt is killed
+    exactly (never by pattern), and a hung remote connection dies with it.
+    """
+    cmd = [sys.executable, __file__, "--inner", *sorted(args)]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=ATTEMPT_TIMEOUT_S,
+                              start_new_session=True)
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        print(proc.stderr[-2000:], file=sys.stderr)
+        return None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return line
+    return None
+
+
+def main():
+    args = set(sys.argv[1:])
+    if "--inner" in args or "--no-watchdog" in args:
+        print(run_measurement(args - {"--inner", "--no-watchdog"}))
+        return
+    non_default = {"--matrix", "--multimode", "--realvocab", "--mesh"}
+    if args & non_default:
+        # specialty modes are interactive/diagnostic — no watchdog
+        print(run_measurement(args))
+        return
+    line = _watchdog_attempt(args)
+    if line is None:
+        print("first attempt hung/failed; retrying in a fresh process",
+              file=sys.stderr)
+        line = _watchdog_attempt(args)
+    if line is not None:
+        with open(LAST_GOOD, "w", encoding="utf-8") as f:
+            f.write(line + "\n")
+        print(line)
+        return
+    if os.path.exists(LAST_GOOD):
+        with open(LAST_GOOD, "r", encoding="utf-8") as f:
+            cached = json.loads(f.read())
+        cached.setdefault("detail", {})["stale_cache"] = True
+        print("both attempts hung — replaying last successful measurement",
+              file=sys.stderr)
+        print(json.dumps(cached))
+        return
+    raise SystemExit("benchmark attempts hung and no cached measurement "
+                     "exists")
 
 
 if __name__ == "__main__":
