@@ -348,8 +348,9 @@ def predict_protein_function(
                 len(aligned_cmaps) / denom * 100)
 
     # ---- models + engine (loaded BEFORE alignment so inference overlaps) ----
-    gcn_handles, cnn_handles, _ = load_models(weights,
-                                              deepfri_processing_modes)
+    with profiling.stage("load/models"):
+        gcn_handles, cnn_handles, _ = load_models(weights,
+                                                  deepfri_processing_modes)
     # Use every visible chip: data-parallel mesh over the local devices
     # (single-device → plain jit). The reference is single-accelerator only.
     import jax as _jax
@@ -591,8 +592,9 @@ def predict_protein_function(
             outputs, never re-parsed)."""
             if skip_matrix:
                 return
-            with open(output_path / filename, "w", encoding="utf-8",
-                      newline="") as fh:
+            with profiling.stage("write/matrices"), \
+                    open(output_path / filename, "w", encoding="utf-8",
+                         newline="") as fh:
                 fh.write("\t".join(["protein", "network_type"]
                                    + list(goterms)) + "\n")
                 for qid, net, scores in jobs:
