@@ -70,6 +70,9 @@ def _parse_rows(text: str, n: int) -> np.ndarray:
 
 BLOSUM62 = _parse_rows(_BLOSUM62_ROWS, len(BLOSUM62_ALPHABET))
 
+# name → resolved ScoringMatrix (read-only instances; see from_name)
+_MATRIX_CACHE: dict = {}
+
 
 class ScoringMatrix:
     """Named substitution matrix + alphabet, with a 256-entry char LUT.
@@ -90,6 +93,19 @@ class ScoringMatrix:
 
     @classmethod
     def from_name(cls, name: str) -> "ScoringMatrix":
+        # Resolution walks bundled files / optional package / env dirs —
+        # tens of stat() calls. Callers resolve once per ALIGNMENT TASK
+        # (pipeline fan-out), so cache by name; instances are read-only.
+        key = name.upper()
+        cached = _MATRIX_CACHE.get(key)
+        if cached is not None:
+            return cached
+        matrix = cls._from_name_uncached(name)
+        _MATRIX_CACHE[key] = matrix
+        return matrix
+
+    @classmethod
+    def _from_name_uncached(cls, name: str) -> "ScoringMatrix":
         key = name.upper()
         if key == "BLOSUM62":
             return cls("BLOSUM62", BLOSUM62_ALPHABET, BLOSUM62)
@@ -192,15 +208,28 @@ def resolve_scoring_matrix(name: str = "auto") -> ScoringMatrix:
     global _AUTO_WARNED
     if name.lower() != "auto":
         return ScoringMatrix.from_name(name)
+    cached = _MATRIX_CACHE.get("auto")
+    if cached is not None:
+        if cached.name == "BLOSUM62":
+            _warn_degraded_auto()
+        return cached
     try:
-        return ScoringMatrix.from_name("VTML80")
+        resolved = ScoringMatrix.from_name("VTML80")
     except ValueError:
-        if not _AUTO_WARNED:
-            logger.warning(
-                "VTML80 (the reference default scoring matrix) is not "
-                "available in this installation — aligning with BLOSUM62 "
-                "instead. Best-hit choices may differ from the reference "
-                "on borderline cases. Install `scoring-matrices` or drop "
-                "a VTML80.out file into align/data/ for exact parity.")
-            _AUTO_WARNED = True
-        return ScoringMatrix.from_name("BLOSUM62")
+        _warn_degraded_auto()
+        resolved = ScoringMatrix.from_name("BLOSUM62")
+    _MATRIX_CACHE["auto"] = resolved
+    return resolved
+
+
+def _warn_degraded_auto() -> None:
+    global _AUTO_WARNED
+    if _AUTO_WARNED:
+        return
+    logger.warning(
+        "VTML80 (the reference default scoring matrix) is not "
+        "available in this installation — aligning with BLOSUM62 "
+        "instead. Best-hit choices may differ from the reference "
+        "on borderline cases. Install `scoring-matrices` or drop "
+        "a VTML80.out file into align/data/ for exact parity.")
+    _AUTO_WARNED = True

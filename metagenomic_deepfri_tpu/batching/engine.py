@@ -47,13 +47,37 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class ModelHandle:
-    """One loaded network: config + device-resident params + vocabulary."""
+    """One loaded network: config + params + vocabulary.
+
+    ``params`` arrive as HOST numpy trees from the importers and are
+    device-placed once by the engine (one batched transfer per handle);
+    ``fingerprints`` ({top_key: digest}) are computed on host for
+    shared-trunk detection — zero device round trips at construction.
+    """
     net_type: str          # "gcn" | "cnn"
     mode: str              # "bp" | "cc" | "mf" | "ec"
     config: object         # GCNConfig | CNNConfig
     params: dict
     goterms: Optional[list] = None
     gonames: Optional[list] = None
+    fingerprints: Optional[dict] = None
+
+
+def _subtree_digest(tree) -> str:
+    """Host-side content hash of a parameter subtree (structure + shapes +
+    dtypes + exact bytes). Bitwise identity is precisely the shared-trunk
+    criterion, and hashing ~tens of MB on host costs milliseconds — the
+    previous per-leaf on-device comparisons paid a fresh tiny program each
+    (measured ~1.5 s/leaf under backend load, ~90 s per engine)."""
+    import hashlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    h = hashlib.sha1(repr(treedef).encode())
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        h.update(repr((a.shape, str(a.dtype))).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
 
 
 # Byte layout of the packed uint8 wire buffer (ONE H2D transfer per batch
@@ -108,33 +132,6 @@ def _unpack_coords_mega(packed: jnp.ndarray):
     return coords, tokens, ins_mask, lengths
 
 
-def _tree_equal_pending(a, b):
-    """Structural check + per-leaf device equality scalars (NOT fetched).
-
-    Returns None on any structure/shape/dtype mismatch, else a list of
-    0-d device booleans. Callers batch ALL pending scalars into one
-    ``jax.device_get`` — on a high-latency link, N serial ``bool()``
-    fetches at engine construction cost seconds; one batched fetch is a
-    single round trip.
-    """
-    la, ta = jax.tree_util.tree_flatten(a)
-    lb, tb = jax.tree_util.tree_flatten(b)
-    if ta != tb or len(la) != len(lb):
-        return None
-    if any(x.shape != y.shape or x.dtype != y.dtype
-           for x, y in zip(la, lb)):
-        return None
-    return [jnp.array_equal(x, y) for x, y in zip(la, lb)]
-
-
-def _tree_equal(a, b) -> bool:
-    """Bitwise equality of two pytrees (structure + every leaf)."""
-    pending = _tree_equal_pending(a, b)
-    if pending is None:
-        return False
-    return all(jax.device_get(pending)) if pending else True
-
-
 def _detect_shared_gcn(gcn_models: Dict[str, "ModelHandle"]):
     """Detect bitwise-shared trunk subtrees across the loaded GCN modes.
 
@@ -144,9 +141,9 @@ def _detect_shared_gcn(gcn_models: Dict[str, "ModelHandle"]):
     ``lm_embed``/``aa_embed``). Returns (shared, per_mode, configs) when at
     least the LM is shared and the configs agree on everything but
     ``n_labels`` — the precondition for
-    :func:`..models.deepfri.gcn_forward_multimode` — else None. The leaf
-    comparisons run on device (a handful of boolean reductions), not by
-    pulling the weights to host.
+    :func:`..models.deepfri.gcn_forward_multimode` — else None. Equality is
+    decided from the handles' host-side content fingerprints (the engine
+    computes them at construction): zero device work.
     """
     import dataclasses
 
@@ -162,31 +159,14 @@ def _detect_shared_gcn(gcn_models: Dict[str, "ModelHandle"]):
             return None
         if dataclasses.replace(h.config, n_labels=cfg0.n_labels) != cfg0:
             return None
-    # Queue every leaf comparison, then fetch ALL verdicts in ONE
-    # device_get round trip (a dozen serial bool() fetches at engine
-    # construction cost seconds over a high-latency link).
-    pending_by_key = {}
-    for k in ("lm", "lm_embed", "aa_embed"):
-        sub0 = handles[0].params.get(k)
-        if sub0 is None:
-            continue
-        eqs = []
-        for h in handles[1:]:
-            p = _tree_equal_pending(sub0, h.params.get(k))
-            if p is None:
-                eqs = None
-                break
-            eqs.extend(p)
-        if eqs is not None:
-            pending_by_key[k] = eqs
-    flat = [e for eqs in pending_by_key.values() for e in eqs]
-    vals = list(jax.device_get(flat)) if flat else []
     shared_keys = []
-    idx = 0
-    for k, eqs in pending_by_key.items():
-        if all(vals[idx:idx + len(eqs)]):
+    for k in ("lm", "lm_embed", "aa_embed"):
+        if handles[0].params.get(k) is None:
+            continue
+        fp0 = (handles[0].fingerprints or {}).get(k)
+        if fp0 and all((h.fingerprints or {}).get(k) == fp0
+                       for h in handles[1:]):
             shared_keys.append(k)
-        idx += len(eqs)
     if "lm" not in shared_keys:
         return None
     shared = {k: handles[0].params[k] for k in shared_keys}
@@ -433,6 +413,13 @@ class BatchedPredictor:
         # seconds-to-minutes of compile. Families: "gcn" | "cnn".
         self._ready_shapes: Dict[tuple, set] = {}
         self._ready_lock = threading.Lock()
+        # Host-side content fingerprints for shared-trunk detection; the
+        # importers keep params as numpy, so this is pure hashing.
+        for h in list(self.gcn_models.values()) + \
+                list(self.cnn_models.values()):
+            if h.fingerprints is None:
+                h.fingerprints = {k: _subtree_digest(v)
+                                  for k, v in h.params.items()}
         # Shared-trunk multi-mode evaluation: when every loaded GCN mode
         # carries a bitwise-identical LSTM-LM (the published models share
         # one frozen pretrained LM), a multi-mode batch computes the shared
@@ -446,7 +433,41 @@ class BatchedPredictor:
                 "GCN modes %s share %s — multi-mode batches compute the "
                 "shared trunk once.", list(self.gcn_models),
                 sorted(self._gcn_shared[0]))
+        self._place_params()
         self._gcn_multi_jit = {}
+
+    def _place_params(self):
+        """Device-place every handle's parameter tree ONCE.
+
+        One batched ``device_put`` per tree (transfers, not programs — no
+        per-leaf compile cost), replicated over the mesh when sharded.
+        Shared trunk subtrees are placed once and aliased into every
+        mode's handle, so the LM occupies HBM once instead of per mode.
+        """
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P())
+
+        def put(tree):
+            return (jax.device_put(tree, sharding) if sharding
+                    else jax.device_put(tree))
+
+        if self._gcn_shared is not None:
+            shared, per_mode, configs = self._gcn_shared
+            shared = put(shared)
+            per_mode = {m: put(v) for m, v in per_mode.items()}
+            self._gcn_shared = (shared, per_mode, configs)
+            for m, h in self.gcn_models.items():
+                if m in per_mode:
+                    h.params = {**per_mode[m], **shared}
+                else:
+                    h.params = put(h.params)
+        else:
+            for h in self.gcn_models.values():
+                h.params = put(h.params)
+        for h in self.cnn_models.values():
+            h.params = put(h.params)
 
     # -- compiled forwards ---------------------------------------------------
 

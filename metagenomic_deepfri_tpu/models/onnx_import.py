@@ -283,8 +283,13 @@ def _lstm_dir_from_onnx(W, R, B, d: int) -> dict:
     recurrent = _iofc_to_ifco(R[d], hidden).T        # (H, 4H)
     wb, rb = B[d][:4 * hidden], B[d][4 * hidden:]
     bias = _iofc_to_ifco(wb, hidden) + _iofc_to_ifco(rb, hidden)
-    return {"kernel": jnp.asarray(kernel), "recurrent": jnp.asarray(recurrent),
-            "bias": jnp.asarray(bias)}
+    # host numpy by design: imported weights stay on host until the engine
+    # fingerprints them (shared-trunk detection) and device-places each
+    # tree ONCE — eager per-leaf device ops at import measured seconds
+    # each under backend load.
+    return {"kernel": np.ascontiguousarray(kernel),
+            "recurrent": np.ascontiguousarray(recurrent),
+            "bias": np.ascontiguousarray(bias)}
 
 
 def lstm_params_from_onnx(W: np.ndarray, R: np.ndarray,
@@ -915,9 +920,9 @@ def _assert_biases_consumed(graph: OnnxGraph, consumed: set):
 
 
 def _layer_dict(kernel, bias) -> dict:
-    layer = {"kernel": jnp.asarray(kernel)}
+    layer = {"kernel": np.ascontiguousarray(kernel)}
     if bias is not None:
-        layer["bias"] = jnp.asarray(bias)
+        layer["bias"] = np.ascontiguousarray(bias)
     return layer
 
 
@@ -998,8 +1003,8 @@ def import_cnn_params(graph: OnnxGraph, config: CNNConfig) -> dict:
             raise ValueError(f"No Conv branch with kernel size {ksize}")
         w, b = by_width[ksize].pop(0)
         params["conv"].append({
-            "kernel": jnp.asarray(np.transpose(w, (2, 1, 0))),
-            "bias": jnp.asarray(b)})
+            "kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0))),
+            "bias": np.ascontiguousarray(b)})
 
     entries = _topo_matmul_weights(graph)
     consumed: set = set()

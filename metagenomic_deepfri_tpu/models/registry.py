@@ -337,7 +337,7 @@ def _unflatten(flat: dict):
         node = root
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(val)
+        node[parts[-1]] = np.ascontiguousarray(val)
 
     def listify(node):
         if not isinstance(node, dict):

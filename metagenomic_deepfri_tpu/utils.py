@@ -64,6 +64,12 @@ def enable_persistent_compile_cache() -> None:
     try:
         import jax
 
+        # Accelerator backends only: XLA:CPU persists AOT machine code
+        # whose CPU-feature fingerprint can mismatch the executing host
+        # (observed: cache entries warning about possible SIGILL), and CPU
+        # compiles are cheap anyway.
+        if jax.default_backend() == "cpu":
+            return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
