@@ -175,10 +175,7 @@ def align_mmseqs_results(best_matches_filepath,
         if "|" in qid:
             query_dict[qid.split("|")[1]] = query_dict.pop(qid)
 
-    unique_queries = {
-        q: best_matches.get_query_targets(q)
-        for q in best_matches.get_queries()
-    }
+    unique_queries = best_matches.targets_by_query()
     target_ids = best_matches.get_targets()
     target_seqs = retrieve_fasta_entries_as_dict(sequence_db, target_ids)
     target_seqs = {k: _upper(v) for k, v in target_seqs.items()}

@@ -117,6 +117,27 @@ class SearchResults:
         return np.unique(
             self.table[self.table["query"] == query]["target"])
 
+    def targets_by_query(self) -> dict:
+        """{query: unique targets} for ALL queries in one sorted pass.
+
+        ``get_query_targets`` scans the whole table per call; mapping a
+        10k-query result set that way is O(queries × rows) — measured ~15 s
+        on a 10k-seq run and quadratic beyond. This is O(rows log rows).
+        """
+        if len(self.table) == 0:
+            return {}
+        order = np.argsort(self.table, order=("query", "target"))
+        q = self.table["query"][order]
+        t = self.table["target"][order]
+        out: dict = {}
+        starts = np.concatenate(
+            [[0], np.nonzero(q[1:] != q[:-1])[0] + 1, [len(q)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            grp = t[s:e]
+            out[q[s]] = grp[np.concatenate(
+                [[True], grp[1:] != grp[:-1]])]
+        return out
+
     # -- persistence -----------------------------------------------------------
 
     def save(self, filepath, filetype: str = "tsv"):

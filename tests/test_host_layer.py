@@ -490,3 +490,23 @@ class TestMatrixResolution:
         # VTML family invariants: symmetric, positive diagonal.
         assert np.array_equal(sm.matrix, sm.matrix.T)
         assert all(sm.score(c, c) > 0 for c in "ARNDCQEGHILKMFPSTWYV")
+
+
+def test_targets_by_query_matches_per_query_scan():
+    """The one-pass query→targets mapping must equal per-query
+    get_query_targets (same sorted-unique order — best-hit tie-breaking
+    depends on it)."""
+    import numpy as np
+
+    from metagenomic_deepfri_tpu.search.results import SearchResults, _dtype
+
+    rng = np.random.default_rng(3)
+    tbl = np.zeros(500, dtype=_dtype())
+    tbl["query"] = [f"q{rng.integers(40)}" for _ in range(500)]
+    tbl["target"] = [f"t{rng.integers(60)}" for _ in range(500)]
+    sr = SearchResults(tbl)
+    mapping = sr.targets_by_query()
+    assert set(mapping) == set(sr.get_queries())
+    for q in sr.get_queries():
+        assert np.array_equal(mapping[q], sr.get_query_targets(q))
+    assert SearchResults(np.zeros(0, dtype=_dtype())).targets_by_query() == {}
