@@ -1358,7 +1358,7 @@ class BatchedPredictor:
         ``net``: 'gcn_coords' (items = (id, seq, proj_coords, ins_mask)) or
         'cnn' (items = (id, seq)). Returns the number of proteins processed.
         """
-        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         if net not in ("gcn_coords", "cnn"):
             raise ValueError(f"streaming supports gcn_coords/cnn, got {net}")
@@ -1367,27 +1367,37 @@ class BatchedPredictor:
         modes = list(modes) if modes is not None else list(models)
 
         buffers: Dict[int, list] = {}
-        inflight = deque()
         processed = 0
+        # Device→host fetches run on ONE drain worker (ordered — checkpoint
+        # parts stay sequential) so a slow link never serialises with
+        # packing/dispatch of the next batches; the semaphore bounds
+        # undrained batches exactly like the old inline-drain deque did.
+        drainer = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="stream-drain")
+        slots = threading.Semaphore(max_inflight)
+        drain_futs: list = []
 
-        def drain_one():
-            chunk, scores = inflight.popleft()
-            emit = {m: {} for m in modes}
-            for m in modes:
-                host = self._expand_mode_outputs(
-                    m, [scores[m]], chunk, "cnn" if not is_gcn else "gcn",
-                    overflow_cb)[0]
-                for i, item in enumerate(chunk):
-                    emit[m][item[0]] = host[i]
-            if result_cb:
-                result_cb(emit)
-            if progress_cb:
-                progress_cb(len(chunk))
+        def drain(chunk, scores):
+            try:
+                emit = {m: {} for m in modes}
+                for m in modes:
+                    host = self._expand_mode_outputs(
+                        m, [scores[m]], chunk,
+                        "cnn" if not is_gcn else "gcn", overflow_cb)[0]
+                    for i, item in enumerate(chunk):
+                        emit[m][item[0]] = host[i]
+                if result_cb:
+                    result_cb(emit)
+                if progress_cb:
+                    progress_cb(len(chunk))
+            finally:
+                slots.release()
 
         family = "gcn" if is_gcn else "cnn"
 
         def dispatch(bucket, chunk):
             nonlocal processed
+            slots.acquire()  # bound undrained batches (host + HBM refs)
             # Full buckets hit the steady-state shape; partial flushes
             # reuse ANY already-compiled shape that fits (warmup seeds
             # these from the workload's length histogram) before falling
@@ -1425,24 +1435,25 @@ class BatchedPredictor:
                 t_d = jax.device_put(tokens)
                 l_d = jax.device_put(lengths)
                 scores = self._cnn_dispatch(modes, t_d, l_d)
-            inflight.append((chunk, scores))
+            drain_futs.append(drainer.submit(drain, chunk, scores))
             processed += len(chunk)
-            while len(inflight) > max_inflight:
-                drain_one()
 
         ctx = (jax.default_matmul_precision(self.matmul_precision)
                if self.matmul_precision else _nullcontext())
-        with ctx:
-            for item in items_iter:
-                bucket = assign_bucket(len(item[1]), self.buckets)
-                buf = buffers.setdefault(bucket, [])
-                buf.append(item)
-                if len(buf) >= self._steady_batch(bucket, is_gcn):
-                    dispatch(bucket, buf)
-                    buffers[bucket] = []
-            self._flush_residual(buffers, family, is_gcn, dispatch)
-            while inflight:
-                drain_one()
+        try:
+            with ctx:
+                for item in items_iter:
+                    bucket = assign_bucket(len(item[1]), self.buckets)
+                    buf = buffers.setdefault(bucket, [])
+                    buf.append(item)
+                    if len(buf) >= self._steady_batch(bucket, is_gcn):
+                        dispatch(bucket, buf)
+                        buffers[bucket] = []
+                self._flush_residual(buffers, family, is_gcn, dispatch)
+            for f in drain_futs:
+                f.result()  # propagate fetch/callback errors, in order
+        finally:
+            drainer.shutdown(wait=True)
         return processed
 
     def _flush_residual(self, buffers, family: str, is_gcn: bool,
