@@ -40,7 +40,10 @@ REPO = __file__.rsplit("/", 1)[0]
 sys.path.insert(0, REPO)
 
 LAST_GOOD = os.path.join(REPO, "BENCH_LAST.json")
-ATTEMPT_TIMEOUT_S = 240
+# Per-attempt budget: a healthy cold run completes in 40-90 s; two failed
+# attempts + stale-cache replay must still land inside the driver's
+# capture window (~2x180 + overhead < 6 min).
+ATTEMPT_TIMEOUT_S = 180
 
 
 def run_measurement(args):
@@ -74,20 +77,30 @@ def run_measurement(args):
 def _watchdog_attempt(args):
     """One measurement attempt in a fresh child process; None on failure.
 
-    The child is its own process group so a wedged attempt is killed
-    exactly (never by pattern), and a hung remote connection dies with it.
+    The child is its own process group and the WHOLE group is killed on
+    timeout (by exact pgid, never by pattern), so any helper process
+    holding the remote device connection dies with it and the retry
+    starts against a released device.
     """
+    import signal
+
     cmd = [sys.executable, __file__, "--inner", *sorted(args)]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True,
+                            start_new_session=True)
     try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=ATTEMPT_TIMEOUT_S,
-                              start_new_session=True)
+        out, err = proc.communicate(timeout=ATTEMPT_TIMEOUT_S)
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
         return None
     if proc.returncode != 0:
-        print(proc.stderr[-2000:], file=sys.stderr)
+        print(err[-2000:], file=sys.stderr)
         return None
-    for line in proc.stdout.splitlines():
+    for line in out.splitlines():
         line = line.strip()
         if line.startswith("{"):
             return line
@@ -110,20 +123,26 @@ def main():
               file=sys.stderr)
         line = _watchdog_attempt(args)
     if line is not None:
+        record = json.loads(line)
+        record["detail"]["bench_args"] = sorted(args)
         with open(LAST_GOOD, "w", encoding="utf-8") as f:
-            f.write(line + "\n")
-        print(line)
+            f.write(json.dumps(record) + "\n")
+        print(json.dumps(record))
         return
     if os.path.exists(LAST_GOOD):
         with open(LAST_GOOD, "r", encoding="utf-8") as f:
             cached = json.loads(f.read())
-        cached.setdefault("detail", {})["stale_cache"] = True
-        print("both attempts hung — replaying last successful measurement",
-              file=sys.stderr)
-        print(json.dumps(cached))
-        return
-    raise SystemExit("benchmark attempts hung and no cached measurement "
-                     "exists")
+        # replay only a measurement of the SAME benchmark (args recorded
+        # at save time); its detail already names the device it came from
+        if cached.get("detail", {}).get("bench_args") == sorted(args):
+            cached["detail"]["stale_cache"] = True
+            print("both attempts hung — replaying last successful "
+                  "measurement (marked stale_cache, device in detail)",
+                  file=sys.stderr)
+            print(json.dumps(cached))
+            return
+    raise SystemExit("benchmark attempts hung and no matching cached "
+                     "measurement exists")
 
 
 if __name__ == "__main__":

@@ -70,8 +70,17 @@ def _parse_rows(text: str, n: int) -> np.ndarray:
 
 BLOSUM62 = _parse_rows(_BLOSUM62_ROWS, len(BLOSUM62_ALPHABET))
 
-# name → resolved ScoringMatrix (read-only instances; see from_name)
+# (name, matrix-dir env) → resolved ScoringMatrix (see from_name)
 _MATRIX_CACHE: dict = {}
+
+
+def _cache_key(name: str) -> tuple:
+    """Cache key including the env-dir the resolution depends on, so
+    changing MDEEPFRI_MATRIX_DIR (tests, long-lived processes) is not
+    frozen by an earlier resolution."""
+    import os
+
+    return (name, os.environ.get("MDEEPFRI_MATRIX_DIR", ""))
 
 
 class ScoringMatrix:
@@ -95,8 +104,9 @@ class ScoringMatrix:
     def from_name(cls, name: str) -> "ScoringMatrix":
         # Resolution walks bundled files / optional package / env dirs —
         # tens of stat() calls. Callers resolve once per ALIGNMENT TASK
-        # (pipeline fan-out), so cache by name; instances are read-only.
-        key = name.upper()
+        # (pipeline fan-out), so cache per (name, env dir); instances are
+        # treated as read-only by every consumer.
+        key = _cache_key(name.upper())
         cached = _MATRIX_CACHE.get(key)
         if cached is not None:
             return cached
@@ -208,7 +218,8 @@ def resolve_scoring_matrix(name: str = "auto") -> ScoringMatrix:
     global _AUTO_WARNED
     if name.lower() != "auto":
         return ScoringMatrix.from_name(name)
-    cached = _MATRIX_CACHE.get("auto")
+    key = _cache_key("auto")
+    cached = _MATRIX_CACHE.get(key)
     if cached is not None:
         if cached.name == "BLOSUM62":
             _warn_degraded_auto()
@@ -218,7 +229,7 @@ def resolve_scoring_matrix(name: str = "auto") -> ScoringMatrix:
     except ValueError:
         _warn_degraded_auto()
         resolved = ScoringMatrix.from_name("BLOSUM62")
-    _MATRIX_CACHE["auto"] = resolved
+    _MATRIX_CACHE[key] = resolved
     return resolved
 
 

@@ -356,6 +356,9 @@ class BatchedPredictor:
                  score_topk: Optional[int] = None,
                  score_threshold: float = 0.1,
                  mesh=None):
+        from metagenomic_deepfri_tpu.utils import \
+            enable_persistent_compile_cache
+        enable_persistent_compile_cache()  # before any compile; idempotent
         self.gcn_models = gcn_models or {}
         self.cnn_models = cnn_models or {}
         self.buckets = tuple(buckets)
@@ -413,13 +416,16 @@ class BatchedPredictor:
         # seconds-to-minutes of compile. Families: "gcn" | "cnn".
         self._ready_shapes: Dict[tuple, set] = {}
         self._ready_lock = threading.Lock()
-        # Host-side content fingerprints for shared-trunk detection; the
-        # importers keep params as numpy, so this is pure hashing.
-        for h in list(self.gcn_models.values()) + \
-                list(self.cnn_models.values()):
-            if h.fingerprints is None:
-                h.fingerprints = {k: _subtree_digest(v)
-                                  for k, v in h.params.items()}
+        # Host-side content fingerprints for shared-trunk detection —
+        # computed only when detection can actually run (≥2 GCN modes,
+        # not pallas-forced): the importers keep params as numpy so this
+        # is pure hashing there, but handles built from live device arrays
+        # (bench/tests) would pay a full D2H pull per model for nothing.
+        if len(self.gcn_models) >= 2 and spmm != "pallas":
+            for h in self.gcn_models.values():
+                if h.fingerprints is None:
+                    h.fingerprints = {k: _subtree_digest(v)
+                                      for k, v in h.params.items()}
         # Shared-trunk multi-mode evaluation: when every loaded GCN mode
         # carries a bitwise-identical LSTM-LM (the published models share
         # one frozen pretrained LM), a multi-mode batch computes the shared
@@ -1398,6 +1404,16 @@ class BatchedPredictor:
         def dispatch(bucket, chunk):
             nonlocal processed
             slots.acquire()  # bound undrained batches (host + HBM refs)
+            # Fail fast on drain/callback errors: a failed checkpoint write
+            # must stop a catalogue run within max_inflight batches, not
+            # after hours of further compute (completed futures only —
+            # never block the pipeline here; done-ok futures are pruned so
+            # the list stays O(max_inflight) on million-protein streams).
+            for f in list(drain_futs):
+                if f.done():
+                    if f.exception() is not None:
+                        raise f.exception()
+                    drain_futs.remove(f)
             # Full buckets hit the steady-state shape; partial flushes
             # reuse ANY already-compiled shape that fits (warmup seeds
             # these from the workload's length histogram) before falling

@@ -127,9 +127,10 @@ def main(debug):
         log.setLevel(logging.DEBUG if debug else logging.INFO)
     patch_usage_error()
     setup_logging(debug)
-    # Every verb that touches the engine benefits; cheap no-op otherwise.
-    from metagenomic_deepfri_tpu.utils import enable_persistent_compile_cache
-    enable_persistent_compile_cache()
+    # NOTE: the persistent compile cache is enabled by the components that
+    # actually initialise the JAX backend (engine construction, training,
+    # benches) — doing it here would force backend init for pure-HTTP
+    # verbs like get-models/get-binaries.
 
 
 @main.command()

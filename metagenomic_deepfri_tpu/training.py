@@ -164,7 +164,9 @@ def finetune(weights,
                                                          save_checkpoint)
     from metagenomic_deepfri_tpu.parallel import (init_train_state,
                                                   make_mesh, make_train_step)
+    from metagenomic_deepfri_tpu.utils import enable_persistent_compile_cache
 
+    enable_persistent_compile_cache()
     gcn, _, _ = load_models(weights, [mode])
     if mode not in gcn:
         raise ValueError(f"No GCN weights for mode {mode!r} in {weights}")
