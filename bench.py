@@ -40,10 +40,12 @@ REPO = __file__.rsplit("/", 1)[0]
 sys.path.insert(0, REPO)
 
 LAST_GOOD = os.path.join(REPO, "BENCH_LAST.json")
-# Per-attempt budget: a healthy cold run completes in 40-90 s; two failed
-# attempts + stale-cache replay must still land inside the driver's
-# capture window (~2x180 + overhead < 6 min).
-ATTEMPT_TIMEOUT_S = 180
+# Per-attempt budgets: the FIRST attempt is generous (a cold run under
+# service load legitimately takes 2-4 min of first-executions — killing
+# it at 3 min wastes the work); the RETRY is short because it exists for
+# the wedged-connection case, where a fresh process either works quickly
+# or is wedged too. Worst case 300+120 + overhead < 8 min.
+ATTEMPT_TIMEOUTS_S = (300, 120)
 
 
 def run_measurement(args):
@@ -74,7 +76,7 @@ def run_measurement(args):
                              with_device_loop=with_device_loop)
 
 
-def _watchdog_attempt(args):
+def _watchdog_attempt(args, timeout_s):
     """One measurement attempt in a fresh child process; None on failure.
 
     The child is its own process group and the WHOLE group is killed on
@@ -89,7 +91,7 @@ def _watchdog_attempt(args):
                             stderr=subprocess.PIPE, text=True,
                             start_new_session=True)
     try:
-        out, err = proc.communicate(timeout=ATTEMPT_TIMEOUT_S)
+        out, err = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
         try:
             os.killpg(proc.pid, signal.SIGKILL)
@@ -117,11 +119,11 @@ def main():
         # specialty modes are interactive/diagnostic — no watchdog
         print(run_measurement(args))
         return
-    line = _watchdog_attempt(args)
+    line = _watchdog_attempt(args, ATTEMPT_TIMEOUTS_S[0])
     if line is None:
         print("first attempt hung/failed; retrying in a fresh process",
               file=sys.stderr)
-        line = _watchdog_attempt(args)
+        line = _watchdog_attempt(args, ATTEMPT_TIMEOUTS_S[1])
     if line is not None:
         record = json.loads(line)
         record["detail"]["bench_args"] = sorted(args)
