@@ -885,3 +885,45 @@ class TestFlushChunking:
         # the 6 leftovers from buckets 16/32 merged + chunked (4 then 2)
         # through the warmed (64, 4) program; NO new shape was compiled
         assert {k: set(v) for k, v in engine._ready_shapes.items()} == warmed
+
+
+class TestParamPlacement:
+    """Engine construction fingerprints on host and device-places each
+    param tree once; shared trunk subtrees are aliased, not duplicated."""
+
+    def test_shared_subtrees_aliased_on_device(self):
+        import dataclasses
+        handles = {}
+        base = None
+        for i, (mode, n) in enumerate((("bp", 6), ("mf", 4))):
+            cfg = dataclasses.replace(GCN_CFG, n_labels=n)
+            params = jax.tree_util.tree_map(
+                np.asarray, init_gcn(jax.random.PRNGKey(400 + i), cfg))
+            if base is None:
+                base = params
+            else:
+                for k in ("lm", "lm_embed", "aa_embed"):
+                    params[k] = base[k]
+            handles[mode] = ModelHandle("gcn", mode, cfg, params)
+        engine = BatchedPredictor(gcn_models=handles)
+        assert engine._gcn_shared is not None
+        # the LM kernel is THE SAME device buffer in both modes
+        k_bp = handles["bp"].params["lm"][0]["kernel"]
+        k_mf = handles["mf"].params["lm"][0]["kernel"]
+        assert k_bp is k_mf
+        # and params are device arrays now (placed once)
+        import jax as _jax
+        assert isinstance(k_bp, _jax.Array)
+
+    def test_fingerprints_gated(self):
+        # single-mode engines never hash (nothing to detect) …
+        handle = ModelHandle("gcn", "mf", GCN_CFG,
+                             init_gcn(jax.random.PRNGKey(0), GCN_CFG))
+        BatchedPredictor(gcn_models={"mf": handle})
+        assert handle.fingerprints is None
+        # … and pallas-forced engines skip detection entirely
+        handles = {m: ModelHandle("gcn", m, GCN_CFG,
+                                  init_gcn(jax.random.PRNGKey(i), GCN_CFG))
+                   for i, m in enumerate(("bp", "mf"))}
+        BatchedPredictor(gcn_models=handles, spmm="pallas")
+        assert all(h.fingerprints is None for h in handles.values())
