@@ -170,10 +170,14 @@ class AnnotationServer:
         self._req_q: "_queue.Queue" = _queue.Queue()
         self._batcher = None
         self._batcher_lock = threading.Lock()
-        # warm the common buckets in the background so early requests skip
-        # most first-execution compile cost
-        self._warmup_future = self.engine.warmup(
-            buckets=[b for b in self.engine.buckets if b <= 512])
+        # Warm the REQUEST-SIZED programs in the background: server traffic
+        # is latency-sized (1..~100 proteins per request), which the
+        # engine's batch menu routes through the small (bucket≤512, 128)
+        # shapes — two small programs instead of the full 2048-wide
+        # steady-state set (each of those is a multi-minute first-execution
+        # under backend load; a huge request still compiles its steady
+        # shape once, on demand).
+        self._warmup_future = self.engine.warmup(expected={512: 128})
 
         def _log_warmup_failure(fut):
             exc = fut.exception()
