@@ -125,12 +125,13 @@ def _build_weights_body(weights_dir: Path):
     shared_trunk = None  # the published models share one frozen LSTM-LM
     for mode in MODES:
         k1, k2, key = jax.random.split(key, 3)
-        gcn_cfg = GCNConfig(n_labels=n_labels[mode], lm_hidden=128,
-                            lm_layers=1, embed_dim=256,
-                            gc_dims=(256, 256, 256), fc_dims=(512,))
-        cnn_cfg = CNNConfig(n_labels=n_labels[mode], conv_filters=256,
-                            conv_kernels=(8, 16), fc_dims=(512,))
-        gcn_name = (f"DeepFRI-MERGED_GraphConv_gcd_256-256-256_fcd_512_"
+        # FULL-SIZE architecture — the library defaults, matching the
+        # published `DeepFRI-…gcd_512-512-512_fcd_1024` models (reference
+        # __init__.py:70-80): lm 512×2, embed 1024, gc 512³, fc 1024.
+        # Round-4 verdict: the table must be measured at real model scale.
+        gcn_cfg = GCNConfig(n_labels=n_labels[mode])
+        cnn_cfg = CNNConfig(n_labels=n_labels[mode])
+        gcn_name = (f"DeepFRI-MERGED_GraphConv_gcd_512-512-512_fcd_1024_"
                     f"ca_10.0_{mode}.onnx")
         cnn_name = f"DeepCNN-MERGED_{mode}.onnx"
         gcn_params = init_gcn(k1, gcn_cfg)
@@ -255,30 +256,74 @@ def run_one(size: int, workdir: Path, threads: int,
     return row
 
 
+MODEL_CONFIG_NOTE = ("gcn: lm 512x2 + embed 1024 + gc 512-512-512 + fc 1024"
+                     " (library defaults, = published gcd_512-512-512_fcd_"
+                     "1024); cnn: 512 filters k8+k16, fc 1024; vocab "
+                     "bp 3992 / cc 320 / mf 489")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="10,100,1000,10000")
-    ap.add_argument("--workdir", default="/tmp/mdeepfri_e2e_bench")
+    ap.add_argument("--workdir", default="/tmp/mdeepfri_e2e_bench_full")
     ap.add_argument("--out", default=str(Path(__file__).parent
                                          / "e2e_results.tsv"))
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--skip-matrix", action="store_true",
                     help="skip prediction-matrix TSVs; enables the engine's "
                          "top-k score fetch (results.tsv is unchanged)")
+    ap.add_argument("--single", type=int, default=None,
+                    help="(internal) run ONE size in this process and print "
+                         "its row as JSON")
+    ap.add_argument("--same-process", action="store_true",
+                    help="run all sizes in this one process (shares warm "
+                         "compiled programs across rows — NOT the published "
+                         "protocol; rows are labelled warm_process)")
     args = ap.parse_args()
 
-    sizes = [int(s) for s in args.sizes.split(",")]
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
 
     from metagenomic_deepfri_tpu.utils import enable_persistent_compile_cache
     enable_persistent_compile_cache()
 
+    if args.single is not None:
+        row = run_one(args.single, workdir, args.threads,
+                      skip_matrix=args.skip_matrix)
+        print(json.dumps(row), flush=True)
+        return
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    # One-time fixture build (DB + weights pre-exist when the reference's
+    # table is produced too) so the first timed row doesn't pay it.
+    build_weights(workdir / "weights")
+    build_structure_db(workdir / "structures", np.random.default_rng(7))
+
     rows = []
     for size in sizes:
         print(f"== {size} sequences ==", flush=True)
-        row = run_one(size, workdir, args.threads,
-                      skip_matrix=args.skip_matrix)
+        if args.same_process:
+            row = run_one(size, workdir, args.threads,
+                          skip_matrix=args.skip_matrix)
+            row["protocol"] = "warm_process"
+        else:
+            # Each size in a FRESH process — per-run wall clocks like the
+            # reference's published table (no warm compiled programs or
+            # device state carried across rows; round-4 verdict item 3).
+            import subprocess
+            cmd = [sys.executable, __file__, "--single", str(size),
+                   "--workdir", str(workdir), "--threads",
+                   str(args.threads)]
+            if args.skip_matrix:
+                cmd.append("--skip-matrix")
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"size {size} failed")
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.strip().startswith("{")][-1]
+            row = json.loads(line)
+            row["protocol"] = "fresh_process"
         print(json.dumps(row), flush=True)
         rows.append(row)
 
@@ -288,6 +333,14 @@ def main():
         w.writerow(cols)
         for row in rows:
             w.writerow([row[c] for c in cols])
+    with open(Path(args.out).with_suffix(".meta.json"), "w",
+              encoding="utf-8") as f:
+        json.dump({"model_config": MODEL_CONFIG_NOTE,
+                   "protocol": rows[-1]["protocol"],
+                   "threads": args.threads,
+                   "skip_matrix": bool(args.skip_matrix),
+                   "db_size": DB_SIZE, "hit_fraction": HIT_FRACTION},
+                  f, indent=1)
     print(f"wrote {args.out}")
 
 

@@ -409,6 +409,12 @@ class BatchedPredictor:
         self._flat_cap_lock = threading.Lock()
         self._cnn_jit = {}
         self._cnn_multi_jit = {}
+        # One lock guards every jit-wrapper cache get-or-create: parallel
+        # warmup threads warm different shapes of the SAME mode, and two
+        # racing misses would each create a jax.jit wrapper — the loser's
+        # compiled executables are dropped, so a shape registered as warm
+        # silently recompiles on its first production dispatch.
+        self._jit_lock = threading.Lock()
         # (family, bucket) → set of batch sizes whose programs are compiled
         # (or compiling). Dispatch prefers ANY ready shape that fits over
         # compiling a fresh power-of-two one: a slightly over-sized batch
@@ -477,6 +483,19 @@ class BatchedPredictor:
 
     # -- compiled forwards ---------------------------------------------------
 
+    def _cached_jit(self, cache: dict, key, build):
+        """Get-or-create a jit wrapper under ``_jit_lock``.
+
+        ``build()`` only constructs a closure + jax.jit wrapper (tracing
+        happens on first call), so holding the lock across it is cheap and
+        guarantees all shapes of a (mode, key) compile into ONE wrapper.
+        """
+        with self._jit_lock:
+            fn = cache.get(key)
+            if fn is None:
+                fn = cache[key] = build()
+            return fn
+
     def _jit(self, fn, batch_ranks, n_params: int = 1):
         """jit ``fn(*param_args, *batch_args)``, sharding batch args over 'data'.
 
@@ -515,7 +534,7 @@ class BatchedPredictor:
         return vals, idx.astype(jnp.int32)
 
     def _gcn_step(self, mode: str):
-        if mode not in self._gcn_jit:
+        def build():
             handle = self.gcn_models[mode]
 
             def step(params, tokens, adj_u8, lengths):
@@ -524,8 +543,9 @@ class BatchedPredictor:
                                      lengths)
                 return self._compact_scores(scores, handle.config.n_labels)
 
-            self._gcn_jit[mode] = self._jit(step, (2, 3, 1))
-        return self._gcn_jit[mode]
+            return self._jit(step, (2, 3, 1))
+
+        return self._cached_jit(self._gcn_jit, mode, build)
 
     def _gcn_coords_step(self, mode: str):
         """Fused adjacency-construction + GCN forward — the hot path.
@@ -536,7 +556,7 @@ class BatchedPredictor:
         host↔device link per batch (vs the reference's O(L²) float32 per
         protein per call, predict.pyx:85-90).
         """
-        if mode not in self._gcn_coords_jit:
+        def build():
             fwd = self._gcn_coords_forward(mode)
             n_labels = self.gcn_models[mode].config.n_labels
 
@@ -544,8 +564,9 @@ class BatchedPredictor:
                 scores = fwd(params, *_unpack_coords_mega(packed))
                 return self._compact_scores(scores, n_labels)
 
-            self._gcn_coords_jit[mode] = self._jit(step, (3,))
-        return self._gcn_coords_jit[mode]
+            return self._jit(step, (3,))
+
+        return self._cached_jit(self._gcn_coords_jit, mode, build)
 
     def _gcn_coords_forward(self, mode: str):
         """Unjitted (coords, tokens, ins_mask, lengths) → scores forward."""
@@ -603,22 +624,23 @@ class BatchedPredictor:
         stay on device and feed the cap-independent forward jit.
         """
         key = (batch, bucket)
-        if key not in self._flat_unpack_jit:
-            self._flat_unpack_jit[key] = jax.jit(
-                partial(_unpack_coords_flat, batch=batch, bucket=bucket))
-        return self._flat_unpack_jit[key]
+        return self._cached_jit(
+            self._flat_unpack_jit, key,
+            lambda: jax.jit(partial(_unpack_coords_flat, batch=batch,
+                                    bucket=bucket)))
 
     def _gcn_coords_args_step(self, mode: str):
         """Jitted forward over already-unpacked (coords, tokens, ins, len)."""
-        if mode not in self._gcn_flat_jit:
+        def build():
             fwd = self._gcn_coords_forward(mode)
             n_labels = self.gcn_models[mode].config.n_labels
 
             def step(params, *args):
                 return self._compact_scores(fwd(params, *args), n_labels)
 
-            self._gcn_flat_jit[mode] = jax.jit(step)
-        return self._gcn_flat_jit[mode]
+            return jax.jit(step)
+
+        return self._cached_jit(self._gcn_flat_jit, mode, build)
 
     # -- shared-trunk multi-mode steps ----------------------------------------
 
@@ -650,7 +672,8 @@ class BatchedPredictor:
         GraphConv/FC/head stacks repeat per mode.
         """
         key = ("args",) + tuple(modes)
-        if key not in self._gcn_multi_jit:
+
+        def build():
             _, _, configs = self._gcn_shared
             cfgs = {m: configs[m] for m in modes}
             thr, gen = self.contact_threshold, self.generated_contacts
@@ -665,14 +688,16 @@ class BatchedPredictor:
                 return {m: self._compact_scores(v, cfgs[m].n_labels)
                         for m, v in out.items()}
 
-            self._gcn_multi_jit[key] = jax.jit(step)
-        return self._gcn_multi_jit[key]
+            return jax.jit(step)
+
+        return self._cached_jit(self._gcn_multi_jit, key, build)
 
     def _gcn_multi_packed_step(self, modes: tuple):
         """Multi-mode forward over the packed (B, L, 16) wire buffer
         (mesh path — batch arg shards over the data axis)."""
         key = ("packed",) + tuple(modes)
-        if key not in self._gcn_multi_jit:
+
+        def build():
             _, _, configs = self._gcn_shared
             cfgs = {m: configs[m] for m in modes}
             thr, gen = self.contact_threshold, self.generated_contacts
@@ -688,13 +713,15 @@ class BatchedPredictor:
                 return {m: self._compact_scores(v, cfgs[m].n_labels)
                         for m, v in out.items()}
 
-            self._gcn_multi_jit[key] = self._jit(step, (3,), n_params=2)
-        return self._gcn_multi_jit[key]
+            return self._jit(step, (3,), n_params=2)
+
+        return self._cached_jit(self._gcn_multi_jit, key, build)
 
     def _gcn_multi_dense_step(self, modes: tuple):
         """Multi-mode forward over a dense uint8 adjacency batch."""
         key = ("dense",) + tuple(modes)
-        if key not in self._gcn_multi_jit:
+
+        def build():
             _, _, configs = self._gcn_shared
             cfgs = {m: configs[m] for m in modes}
 
@@ -705,19 +732,21 @@ class BatchedPredictor:
                 return {m: self._compact_scores(v, cfgs[m].n_labels)
                         for m, v in out.items()}
 
-            self._gcn_multi_jit[key] = self._jit(step, (2, 3, 1), n_params=2)
-        return self._gcn_multi_jit[key]
+            return self._jit(step, (2, 3, 1), n_params=2)
+
+        return self._cached_jit(self._gcn_multi_jit, key, build)
 
     def _cnn_step(self, mode: str):
-        if mode not in self._cnn_jit:
+        def build():
             handle = self.cnn_models[mode]
 
             def step(params, tokens, lengths):
                 scores = cnn_forward(params, handle.config, tokens, lengths)
                 return self._compact_scores(scores, handle.config.n_labels)
 
-            self._cnn_jit[mode] = self._jit(step, (2, 1))
-        return self._cnn_jit[mode]
+            return self._jit(step, (2, 1))
+
+        return self._cached_jit(self._cnn_jit, mode, build)
 
     def _cnn_multi_step(self, modes: tuple):
         """ONE jitted program evaluating every requested CNN mode.
@@ -730,7 +759,8 @@ class BatchedPredictor:
         trunks within the one program.
         """
         key = tuple(modes)
-        if key not in self._cnn_multi_jit:
+
+        def build():
             cfgs = {m: self.cnn_models[m].config for m in key}
 
             def step(params_by_mode, tokens, lengths):
@@ -738,8 +768,9 @@ class BatchedPredictor:
                     cnn_forward(params_by_mode[m], cfgs[m], tokens, lengths),
                     cfgs[m].n_labels) for m in key}
 
-            self._cnn_multi_jit[key] = self._jit(step, (2, 1))
-        return self._cnn_multi_jit[key]
+            return self._jit(step, (2, 1))
+
+        return self._cached_jit(self._cnn_multi_jit, key, build)
 
     def _cnn_dispatch(self, modes, tokens_d, lengths_d) -> dict:
         """{mode: step output} for one CNN batch (multi-mode program when
@@ -779,6 +810,16 @@ class BatchedPredictor:
             if n <= b <= max(steady, n):
                 return b
         return None
+
+    def _ready_bucket_at_least(self, family: str, bucket: int):
+        """Smallest standard bucket ≥ ``bucket`` with a compiled shape, or
+        None. Used to route work up to an already-warmed program instead of
+        compiling a fresh one at the exact bucket."""
+        top_std = max(self.buckets)
+        with self._ready_lock:
+            cands = [b for (fam, b), batches in self._ready_shapes.items()
+                     if fam == family and bucket <= b <= top_std and batches]
+        return min(cands) if cands else None
 
     def _menu_batch(self, n: int, steady: int) -> int:
         """The two-shape batch menu: ``min(128, steady)`` for small work,
@@ -912,11 +953,36 @@ class BatchedPredictor:
         # 8k-residue outlier cannot drag every sequence to its length.
         max_std = max(self.buckets)
         std_buckets = [b for b in plan if b <= max_std]
-        if len(std_buckets) > 1 and (not is_gcn or len(items) <= 64):
+        target = None
+        if not is_gcn and std_buckets:
+            # Collapse target prefers an ALREADY-COMPILED bucket ≥ the
+            # needed top: warmup's histogram covers all query lengths, but
+            # the CNN-fallback items are only the unaligned subset, so the
+            # warmed top bucket can exceed max(std_buckets) here (round-4
+            # advisor). Padding a batch up costs milliseconds of conv
+            # time; a fresh executable costs seconds.
             top = max(std_buckets)
+            target = self._ready_bucket_at_least("cnn", top) or top
+        elif std_buckets:
+            # GCN: small workloads likewise prefer a warmed program ≥ the
+            # needed top (a server warms only the (512, 128) shapes; a
+            # request whose proteins are all short must ride them, not
+            # compile at its exact bucket). The padded adjacency at
+            # batch ≤ 128 costs milliseconds; a fresh executable costs
+            # seconds-to-minutes under backend load. Without a warmed
+            # shape the old ≤64-item collapse-to-top applies.
+            top = max(std_buckets)
+            n_std = sum(len(plan[b]) for b in std_buckets)
+            warm = (self._ready_bucket_at_least("gcn", top)
+                    if n_std <= 128 else None)
+            if warm is not None:
+                target = warm
+            elif len(std_buckets) > 1 and len(items) <= 64:
+                target = top
+        if target is not None and std_buckets != [target]:
             merged = [i for b in sorted(std_buckets) for i in plan[b]]
             plan = {b: idxs for b, idxs in plan.items() if b > max_std}
-            plan[top] = merged
+            plan[target] = merged
 
         family = "gcn" if is_gcn else "cnn"
         ctx = (jax.default_matmul_precision(self.matmul_precision)
@@ -1402,6 +1468,19 @@ class BatchedPredictor:
         family = "gcn" if is_gcn else "cnn"
 
         def dispatch(bucket, chunk):
+            # Full buckets hit the steady-state shape; partial flushes
+            # reuse ANY already-compiled shape that fits (warmup seeds
+            # these from the workload's length histogram) before falling
+            # back to a fresh power-of-two program. _pick_batch never
+            # proposes a shape above steady, so a chunk larger than the
+            # picked batch (merged stragglers under a small batch_cap, an
+            # ad-hoc oversize bucket) is split here — the packers index
+            # chunk[0:batch] and would read out of bounds otherwise.
+            batch = self._pick_batch(family, bucket, len(chunk), is_gcn)
+            for start in range(0, len(chunk), batch):
+                dispatch_one(bucket, chunk[start:start + batch], batch)
+
+        def dispatch_one(bucket, chunk, batch):
             nonlocal processed
             slots.acquire()  # bound undrained batches (host + HBM refs)
             # Fail fast on drain/callback errors: a failed checkpoint write
@@ -1414,11 +1493,6 @@ class BatchedPredictor:
                     if f.exception() is not None:
                         raise f.exception()
                     drain_futs.remove(f)
-            # Full buckets hit the steady-state shape; partial flushes
-            # reuse ANY already-compiled shape that fits (warmup seeds
-            # these from the workload's length histogram) before falling
-            # back to a fresh power-of-two program.
-            batch = self._pick_batch(family, bucket, len(chunk), is_gcn)
             scores = {}
             if is_gcn:
                 mk = self._multi_key(modes)

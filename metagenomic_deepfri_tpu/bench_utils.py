@@ -49,13 +49,49 @@ def make_random_items(n: int, min_len: int, max_len: int, seed: int = 0,
     return items
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _phase_guard(name: str, budget_s: float | None):
+    """Abort the PROCESS if a measurement phase overruns its budget.
+
+    A wedged backend RPC cannot be cancelled from Python (the runtime
+    waits in C++ forever), so the guard hard-exits the process; the
+    watchdog parent then falls back to the quick-slice record this run
+    already persisted — a LIVE number from this invocation, not a stale
+    replay. No-op when ``budget_s`` is None (interactive runs).
+    """
+    if budget_s is None:
+        yield
+        return
+    import os as _os
+    import threading
+
+    def _abort():
+        print(f"bench phase '{name}' exceeded {budget_s:.0f}s — aborting "
+              "process (quick-slice record, if any, is already persisted)",
+              file=sys.stderr, flush=True)
+        _os._exit(17)
+
+    timer = threading.Timer(budget_s, _abort)
+    timer.daemon = True
+    timer.start()
+    try:
+        yield
+    finally:
+        timer.cancel()
+
+
 def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
                       n_labels: int = 512, batch_cap: int | None = None,
                       compute_dtype: str = "bfloat16", seed: int = 0,
                       path: str = "coords", spmm: str = "auto",
                       with_device_loop="auto",
                       device_only_cache: str = "BENCH_DEVICE_ONLY.json",
-                      time_budget_s: float = 150.0) -> str:
+                      time_budget_s: float = 150.0,
+                      quick_path: str | None = None,
+                      quick_detail: dict | None = None) -> str:
     """Time full-size GCN forwards; returns the bench JSON line.
 
     ``path='coords'`` (default, the production pipeline path) measures the
@@ -72,6 +108,13 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
     ``time_budget_s`` wall-clock — so the default `python bench.py` stays
     inside the driver's budget by construction. ``True`` forces a fresh
     loop, ``False`` skips it (cache still consulted).
+
+    ``quick_path`` (watchdog mode): persist a LIVE quick-slice record —
+    one warm + one timed pass over a single batch — to this file as soon
+    as it is measured, BEFORE the full best-of-N refinement, and arm
+    per-phase abort guards so a wedged backend RPC can never leave the
+    round without a live number. ``quick_detail`` merges extra keys
+    (run nonce, bench args) into that record's detail.
     """
     import os
 
@@ -110,52 +153,79 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
         nnz = [int(np.asarray(it[2]).sum()) for it in sample]
     edges_per_protein = float(np.mean(nnz))
 
-    # warm-up / compile: one full untimed pass covers every compiled shape
-    # (buckets, flat-wire capacity variants), so the timed passes measure
-    # steady-state throughput. Five timed passes, best-of: the tunneled
-    # link's bandwidth varies several-fold DURING a run (per-pass spread of
-    # 1.5-4.6s observed), and the best pass is the closer estimate of the
-    # engine's actual throughput; two extra warm passes cost seconds and
-    # halve the run-to-run spread of the reported number.
-    t_start = time.perf_counter()
-    run(items)
-    elapsed_passes = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run(items)
-        elapsed_passes.append(time.perf_counter() - t0)
-    elapsed = min(elapsed_passes)
-    pps = len(items) / elapsed
-
     # Executed MXU work per protein at the padded bucket length → MFU
     # against the chip's bf16 peak (padding waste counts against us, which
     # is the honest utilisation figure for a bucketed engine).
     flops_per_protein = analytic_gcn_matmul_flops(config, bucket)
     peak = device_peak_bf16_flops(jax.devices()[0])
 
-    result = {
-        "metric": "gcn_proteins_per_sec_per_chip",
-        "value": round(pps, 2),
-        "unit": "proteins/s",
-        "vs_baseline": round(pps / REFERENCE_GCN_PROTEINS_PER_SEC, 2),
-        "detail": {
+    def mk_result(pps, elapsed, n_proteins, passes, phase):
+        detail = {
             "bucket": bucket,
             "batch": batch,
-            "n_proteins": len(items),
+            "n_proteins": n_proteins,
             "n_labels": n_labels,
             "elapsed_s": round(elapsed, 3),
-            "elapsed_passes_s": [round(e, 3) for e in elapsed_passes],
+            "elapsed_passes_s": [round(e, 3) for e in passes],
             "compute_dtype": compute_dtype,
             "path": path,
             "spmm": spmm,
+            "phase": phase,
             "edges_per_sec": round(pps * edges_per_protein, 1),
             "edges_per_protein": round(edges_per_protein, 1),
             "flops_per_protein": round(flops_per_protein),
             "mfu": (round(pps * flops_per_protein / peak, 4)
                     if peak else None),
             "device": str(jax.devices()[0]),
-        },
-    }
+        }
+        if quick_detail:
+            detail.update(quick_detail)
+        return {
+            "metric": "gcn_proteins_per_sec_per_chip",
+            "value": round(pps, 2),
+            "unit": "proteins/s",
+            "vs_baseline": round(pps / REFERENCE_GCN_PROTEINS_PER_SEC, 2),
+            "detail": detail,
+        }
+
+    # Measurement runs quick-slice-first: compile + warm ONE batch, time
+    # ONE pass over it, and persist that record immediately (watchdog
+    # mode) — a live number exists from this round before anything that
+    # can hang. Then refine: the full item set, best-of-4 timed passes
+    # (the tunneled link's bandwidth varies several-fold DURING a run —
+    # per-pass spread of 1.5-4.6s observed — so the best pass is the
+    # closer estimate of the engine's steady throughput).
+    guarded = quick_path is not None
+
+    def budget(s):
+        return s if guarded else None
+
+    t_start = time.perf_counter()
+    quick_items = items[:batch]
+    with _phase_guard("compile+warm", budget(210.0)):
+        run(quick_items)
+    with _phase_guard("quick-slice", budget(60.0)):
+        t0 = time.perf_counter()
+        run(quick_items)
+        quick_elapsed = time.perf_counter() - t0
+    quick_pps = len(quick_items) / quick_elapsed
+    if quick_path:
+        quick = mk_result(quick_pps, quick_elapsed, len(quick_items),
+                          [quick_elapsed], "quick_slice")
+        with open(quick_path, "w", encoding="utf-8") as f:
+            f.write(json.dumps(quick) + "\n")
+
+    with _phase_guard("full-refine", budget(120.0)):
+        run(items)  # warm the remaining flat-wire capacity variants
+        elapsed_passes = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            run(items)
+            elapsed_passes.append(time.perf_counter() - t0)
+    elapsed = min(elapsed_passes)
+    pps = len(items) / elapsed
+    result = mk_result(pps, elapsed, len(items), elapsed_passes, "full")
+    result["detail"]["quick_slice_pps"] = round(quick_pps, 2)
     # device-only companion number: cache-first, budget-guarded
     cache_key = {"bucket": bucket, "n_labels": n_labels,
                  "compute_dtype": compute_dtype, "spmm": spmm,
@@ -175,10 +245,11 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
     if dev is None and with_device_loop is not False:
         spent = time.perf_counter() - t_start
         if with_device_loop is True or spent < time_budget_s:
-            dev = device_only_gcn_pps(bucket=bucket, n_labels=n_labels,
-                                      compute_dtype=compute_dtype,
-                                      spmm=spmm, batch_cap=batch_cap,
-                                      seed=seed, reps=8)
+            with _phase_guard("device-only", budget(150.0)):
+                dev = device_only_gcn_pps(bucket=bucket, n_labels=n_labels,
+                                          compute_dtype=compute_dtype,
+                                          spmm=spmm, batch_cap=batch_cap,
+                                          seed=seed, reps=8)
             dev_source = "measured"
             if device_only_cache:
                 with open(device_only_cache, "w", encoding="utf-8") as f:
@@ -660,6 +731,193 @@ def device_only_gcn_pps(bucket: int = 512, n_labels: int = 512,
             "elapsed_s": round(elapsed, 3),
             "elapsed_passes_s": [round(e, 3) for e in passes],
             "flops_per_protein": analytic_gcn_matmul_flops(config, bucket)}
+
+
+def run_roofline_benchmark(bucket: int = 512, n_labels: int = 512,
+                           compute_dtype: str = "bfloat16",
+                           reps: int = 20, seed: int = 0,
+                           batch_cap: int | None = None,
+                           out_path: str = "BENCH_ROOFLINE.json") -> str:
+    """Per-stage device-only split of the fused GCN step (roofline view).
+
+    Times each pipeline stage as its own fori_loop program with inputs
+    resident on device — adjacency construction (coords → normalised A),
+    the LSTM-LM trunk (one-hot → scan → embedding merge), the GraphConv
+    stack (A·X aggregations + kernels), and the pooled FC/head — plus the
+    full fused step for comparison. Each stage's analytic matmul FLOPs
+    give a per-stage MFU, locating the device-MFU plateau: the LSTM scan
+    serialises L small (H×4H) matmuls per layer while the GraphConv stack
+    runs L×L×E batched einsums, so their attainable utilisations differ
+    by construction. Writes the split to ``out_path`` and returns a
+    one-line JSON summary.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from metagenomic_deepfri_tpu.batching.buckets import gcn_batch_size
+    from metagenomic_deepfri_tpu.models.deepfri import (
+        GCNConfig, _dense, graphconv_apply, init_gcn, normalize_adjacency)
+    from metagenomic_deepfri_tpu.models.lstm import lstm_stack_forward
+    from metagenomic_deepfri_tpu.ops.cmap_align import \
+        aligned_contacts_from_coords
+    from metagenomic_deepfri_tpu.ops.one_hot import tokens2onehot
+
+    config = GCNConfig(n_labels=n_labels, compute_dtype=compute_dtype)
+    params = init_gcn(jax.random.PRNGKey(seed), config)
+    dtype = jnp.dtype(compute_dtype)
+    B = batch_cap or gcn_batch_size(bucket)
+    L = bucket
+    E = config.embed_dim
+
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(size=(B, L, 3)).astype(np.float32)
+    steps /= np.linalg.norm(steps, axis=2, keepdims=True) + 1e-9
+    coords = np.cumsum(3.8 * steps, axis=1).astype(np.float32)
+    tokens = rng.integers(0, 20, (B, L)).astype(np.uint8)
+    ins = np.zeros((B, L), dtype=bool)
+    lengths = rng.integers(max(L // 2, 1), L + 1, size=(B,)).astype(np.int32)
+    x_embed = rng.normal(size=(B, L, E)).astype(np.float32)
+
+    def loop(body):
+        def outer(*args):
+            def step(i, acc):
+                return acc + body(i, *args)
+            return jax.lax.fori_loop(0, reps, step, jnp.float32(0.0))
+        return outer
+
+    def time_loop(fn, *args):
+        jitted = jax.jit(loop(fn))
+        dev = jax.device_put(args)
+        float(jitted(*dev))  # compile + first server-side execution
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = float(jitted(*dev))
+            best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(acc)
+        return best
+
+    thr, gen = 6.0, 2  # engine defaults (BatchedPredictor.__init__)
+
+    def adj_stage(i, coords, ins, lengths):
+        c = coords + i.astype(jnp.float32) * 1e-4
+        ln = jnp.maximum(lengths - (i % 2), 1)
+        adj = aligned_contacts_from_coords(c, ins, ln, threshold=thr,
+                                           generated_contacts=gen)
+        adj = normalize_adjacency(adj.astype(jnp.float32),
+                                  config.adj_norm).astype(dtype)
+        return jnp.sum(adj.astype(jnp.float32))
+
+    def lm_stage(i, tokens, lengths):
+        t = ((tokens.astype(jnp.int32) + i) % 20).astype(jnp.uint8)
+        ln = jnp.maximum(lengths - (i % 2), 1)
+        onehot = tokens2onehot(t, dtype=jnp.float32)
+        valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
+                 < ln[:, None]).astype(jnp.float32)
+        onehot = onehot * valid[:, :, None]
+        lm_out = lstm_stack_forward(params["lm"], onehot, ln,
+                                    compute_dtype=dtype)
+        x = (_dense(params["lm_embed"], lm_out)
+             + _dense(params["aa_embed"], onehot))
+        return jnp.sum(jax.nn.relu(x).astype(jnp.float32))
+
+    # adjacency built ONCE on device for the GraphConv stage input
+    adj_once = jax.jit(lambda c, m, ln: normalize_adjacency(
+        aligned_contacts_from_coords(c, m, ln, threshold=thr,
+                                     generated_contacts=gen)
+        .astype(jnp.float32), config.adj_norm).astype(dtype))(
+            coords, ins, lengths)
+
+    def gc_stage(i, x0, adj):
+        x = (x0 + i.astype(jnp.float32) * 1e-4).astype(dtype)
+        outs = []
+        for layer in params["gc"]:
+            agg = jnp.einsum("bij,bjd->bid", adj, x,
+                             preferred_element_type=jnp.float32)
+            x = graphconv_apply(layer, agg, dtype)
+            outs.append(x)
+        concat = jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+        return jnp.sum(concat) * 1e-6
+
+    pooled_host = rng.normal(size=(B, sum(config.gc_dims))).astype(np.float32)
+
+    def fc_stage(i, pooled):
+        p = pooled + i.astype(jnp.float32) * 1e-4
+        for layer in params["fc"]:
+            p = jax.nn.relu(_dense(layer, p))
+        logits = _dense(params["head"], p)
+        logits = logits.reshape(*logits.shape[:-1], config.n_labels, 2)
+        return jnp.sum(jax.nn.softmax(logits, axis=-1)[..., 0])
+
+    # FLOPs split (matmul-only, per protein at padded L)
+    total_f = analytic_gcn_matmul_flops(config, L)
+    lm_f = analytic_gcn_trunk_flops(config, L)
+    fc_f = 0.0
+    in_dim = sum(config.gc_dims)
+    for d in config.fc_dims:
+        fc_f += 2.0 * in_dim * d
+        in_dim = d
+    fc_f += 2.0 * in_dim * 2 * config.n_labels
+    gc_f = total_f - lm_f - fc_f
+
+    peak = device_peak_bf16_flops(jax.devices()[0])
+    stages = [
+        ("adjacency", adj_stage, (coords, ins, lengths), 0.0),
+        ("lm_trunk", lm_stage, (tokens, lengths), lm_f),
+        ("graphconv", gc_stage, (x_embed, adj_once), gc_f),
+        ("fc_head", fc_stage, (pooled_host,), fc_f),
+    ]
+    cells = []
+    for name, fn, args, flops in stages:
+        elapsed = time_loop(fn, *args)
+        pps = B * reps / elapsed
+        cells.append({
+            "stage": name,
+            "elapsed_s": round(elapsed, 4),
+            "us_per_protein": round(1e6 / pps, 2),
+            "stage_mfu": (round(pps * flops / peak, 4)
+                          if peak and flops else None),
+            "flops_per_protein": round(flops),
+        })
+
+    # the fused production step, for the sum-of-stages comparison
+    engine_dev = device_only_gcn_pps(bucket=bucket, n_labels=n_labels,
+                                     compute_dtype=compute_dtype,
+                                     reps=reps, seed=seed,
+                                     batch_cap=batch_cap)
+    fused_us = 1e6 / engine_dev["device_only_pps"]
+    stage_sum_us = sum(c["us_per_protein"] for c in cells)
+    total_us = sum(c["us_per_protein"] for c in cells)
+    for c in cells:
+        c["share_of_stages"] = round(c["us_per_protein"] / total_us, 3)
+
+    report = {
+        "bucket": bucket, "batch": B, "n_labels": n_labels,
+        "compute_dtype": compute_dtype, "reps": reps,
+        "device": str(jax.devices()[0]),
+        "stages": cells,
+        "fused_us_per_protein": round(fused_us, 2),
+        "stage_sum_us_per_protein": round(stage_sum_us, 2),
+        "fused_mfu": (round(engine_dev["device_only_pps"] * total_f / peak, 4)
+                      if peak else None),
+    }
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=1)
+
+    lm_share = next(c["share_of_stages"] for c in cells
+                    if c["stage"] == "lm_trunk")
+    return json.dumps({
+        "metric": "gcn_roofline_lm_share",
+        "value": lm_share,
+        "unit": "fraction_of_device_time",
+        "vs_baseline": 0,
+        "detail": {k: report[k] for k in ("bucket", "batch",
+                                          "fused_us_per_protein",
+                                          "stage_sum_us_per_protein",
+                                          "fused_mfu")} | {
+            "stages": {c["stage"]: c["share_of_stages"] for c in cells},
+            "out_path": out_path},
+    })
 
 
 def run_mesh_benchmark() -> str:

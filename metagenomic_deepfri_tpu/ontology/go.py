@@ -15,6 +15,7 @@ import csv
 import logging
 import urllib.request
 from collections import defaultdict
+from dataclasses import dataclass, replace
 from pathlib import Path
 from typing import Dict, List, Optional, Set, Tuple
 
@@ -115,13 +116,68 @@ class GoDag:
         return frozenset(visited)
 
 
+@dataclass
+class _ResultRow:
+    """One ``results.tsv`` record with named columns.
+
+    Column order mirrors ``pipeline.FINAL_OUTPUT_HEADER`` (protein,
+    network_type, prediction_mode, go_term, score, go_name + six alignment
+    columns); short/malformed input rows are padded to the full schema.
+    ``score`` is the parsed value used for grouping, inheritance and
+    sorting; ``raw_score`` preserves unparsable score text verbatim on
+    output (parsable scores are re-rendered to 4 decimals).
+    """
+
+    protein: str
+    network_type: str
+    mode: str
+    term: str
+    score: float
+    raw_score: str
+    go_name: str
+    alignment: Tuple[str, ...]
+    propagated: bool = False
+
+    N_COLS = 12  # len(FINAL_OUTPUT_HEADER)
+
+    @classmethod
+    def from_tsv(cls, row: list) -> "_ResultRow":
+        row = list(row) + [""] * max(0, cls.N_COLS - len(row))
+        try:
+            score = float(row[4])
+        except ValueError:
+            score = 0.0
+        return cls(protein=row[0], network_type=row[1], mode=row[2],
+                   term=row[3], score=score, raw_score=row[4],
+                   go_name=row[5], alignment=tuple(row[6:cls.N_COLS]))
+
+    def to_tsv(self) -> list:
+        try:
+            score_text = f"{float(self.raw_score):.4f}"
+        except ValueError:
+            score_text = self.raw_score
+        return [self.protein, self.network_type, self.mode, self.term,
+                score_text, self.go_name, *self.alignment,
+                "True" if self.propagated else "False"]
+
+    def sort_key(self):
+        # protein → originals before propagated → score desc → term
+        return (self.protein, self.propagated, -self.score, self.term)
+
+
 def propagate_results(results_path,
                       output_path,
                       obo_path,
                       relations: Tuple[str, ...] = ("is_a", "part_of"),
                       exclude_roots: bool = True) -> Path:
-    """Expand ``results.tsv`` with propagated ancestor terms (reference
-    ``go_propagation.py:97-269``)."""
+    """Expand ``results.tsv`` with propagated ancestor terms.
+
+    Behaviour parity with reference ``go_propagation.py:97-269``: per
+    (protein, prediction-mode) group, every GO term's ancestors join the
+    output with the maximum descendant score (true-path rule) and
+    ``propagated=True``; original rows pass through unchanged (scores
+    re-rendered to 4 decimals); EC numbers are never propagated.
+    """
     dag = GoDag.from_obo(obo_path)
     anc_cache: Dict[str, frozenset] = {}
 
@@ -133,75 +189,47 @@ def propagate_results(results_path,
     with open(results_path, "r", encoding="utf-8") as f:
         reader = csv.reader(f, delimiter="\t")
         header = next(reader)
-        rows = [row for row in reader]
+        records = [_ResultRow.from_tsv(row) for row in reader]
 
-    # (protein, mode) -> {term: (score, row)}
-    groups: Dict[Tuple[str, str], Dict[str, Tuple[float, list]]] = \
-        defaultdict(dict)
-    for row in rows:
-        protein, mode, term = row[0], row[2], row[3]
-        try:
-            score = float(row[4])
-        except (ValueError, IndexError):
-            score = 0.0
-        key = (protein, mode)
-        if term not in groups[key] or score > groups[key][term][0]:
-            groups[key][term] = (score, row)
+    # best-scoring record per (protein, mode) and term
+    groups: Dict[Tuple[str, str], Dict[str, _ResultRow]] = defaultdict(dict)
+    for rec in records:
+        by_term = groups[(rec.protein, rec.mode)]
+        best = by_term.get(rec.term)
+        if best is None or rec.score > best.score:
+            by_term[rec.term] = rec
 
-    output_rows = []
-    for (protein, mode), term_data in groups.items():
-        term_scores: Dict[str, float] = {}
-        term_propagated: Dict[str, bool] = {}
-        originals: Dict[str, list] = {}
-        for term, (score, row) in term_data.items():
-            term_scores[term] = max(score, term_scores.get(term, score))
-            term_propagated[term] = False
-            originals[term] = row
-            if not term.startswith("GO:"):
-                continue  # EC numbers pass through
-            for anc in ancestors(term):
-                if anc not in term_scores or score > term_scores[anc]:
-                    term_scores[anc] = score
-                if anc not in term_propagated:
-                    term_propagated[anc] = True
+    out: List[_ResultRow] = []
+    for (protein, mode), by_term in groups.items():
+        out.extend(by_term.values())
+        # true-path rule: each ancestor inherits its best descendant score
+        inherited: Dict[str, float] = {}
+        for rec in by_term.values():
+            if not rec.term.startswith("GO:"):
+                continue  # EC numbers pass through untouched
+            for anc in ancestors(rec.term):
+                if inherited.get(anc, -1.0) < rec.score:
+                    inherited[anc] = rec.score
+        # alignment metadata for synthesised ancestor rows comes from an
+        # arbitrary row of the group (they all describe the same protein)
+        template = next(iter(by_term.values()))
+        for term, score in inherited.items():
+            if term in by_term:
+                continue  # an original row already carries this term
+            out.append(replace(template, term=term, score=score,
+                               raw_score=f"{score:.4f}",
+                               go_name=dag.name(term), propagated=True))
 
-        for term, score in term_scores.items():
-            is_prop = term_propagated.get(term, True)
-            if term in originals:
-                row = list(originals[term])
-            else:
-                template = next(iter(term_data.values()))[1]
-
-                def tcol(i):
-                    return template[i] if len(template) > i else ""
-
-                row = [protein, tcol(1), tcol(2), term, f"{score:.4f}",
-                       dag.name(term), tcol(6), tcol(7), tcol(8), tcol(9),
-                       tcol(10), tcol(11)]
-            try:
-                row[4] = f"{float(row[4]):.4f}"
-            except (ValueError, IndexError):
-                pass
-            row.append("True" if is_prop else "False")
-            output_rows.append(row)
-
-    def sort_key(row):
-        try:
-            score = -float(row[4])
-        except (ValueError, IndexError):
-            score = 0
-        return (row[0], row[-1] == "True", score, row[3])
-
-    output_rows.sort(key=sort_key)
+    out.sort(key=_ResultRow.sort_key)
 
     output_path = Path(output_path)
     with open(output_path, "w", encoding="utf-8", newline="") as f:
         writer = csv.writer(f, delimiter="\t")
         writer.writerow(header + ["propagated"])
-        writer.writerows(output_rows)
+        writer.writerows(rec.to_tsv() for rec in out)
 
-    n_orig = sum(1 for r in output_rows if r[-1] == "False")
+    n_prop = sum(rec.propagated for rec in out)
     logger.info(
         "GO propagation complete: %d original + %d propagated = %d total "
-        "rows", n_orig, len(output_rows) - n_orig, len(output_rows))
+        "rows", len(out) - n_prop, n_prop, len(out))
     return output_path

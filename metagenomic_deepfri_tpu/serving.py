@@ -117,7 +117,8 @@ class AnnotationServer:
                  coord_cache: int = 4096,
                  threads: int = 1,
                  score_topk: Optional[int] = None,
-                 mesh=None):
+                 mesh=None,
+                 keepalive_s: float = 5.0):
         from metagenomic_deepfri_tpu.pipeline import \
             _initialize_processing_modes
         from metagenomic_deepfri_tpu.utils import load_deepfri_config
@@ -171,12 +172,13 @@ class AnnotationServer:
         self._batcher = None
         self._batcher_lock = threading.Lock()
         # Warm the REQUEST-SIZED programs in the background: server traffic
-        # is latency-sized (1..~100 proteins per request), which the
-        # engine's batch menu routes through the small (bucket≤512, 128)
-        # shapes — two small programs instead of the full 2048-wide
-        # steady-state set (each of those is a multi-minute first-execution
-        # under backend load; a huge request still compiles its steady
-        # shape once, on demand).
+        # is latency-sized (1..~100 proteins per request). Only the
+        # (bucket 512, batch 128) shapes are compiled; the engine routes
+        # ANY smaller request up to them (``_ready_bucket_at_least`` in
+        # ``_run``'s collapse — a request of all-short proteins pays
+        # milliseconds of padding, not a fresh compile), so two small
+        # programs cover every request ≤ 128 proteins ≤ 512 residues. A
+        # huge request still compiles its steady shape once, on demand.
         self._warmup_future = self.engine.warmup(expected={512: 128})
 
         def _log_warmup_failure(fut):
@@ -186,9 +188,62 @@ class AnnotationServer:
                                "(first requests will compile inline): %s", exc)
 
         self._warmup_future.add_done_callback(_log_warmup_failure)
+        # Device keepalive: the tunneled backend stalls idle connections
+        # (round-4 measurement: 26× p50→p90 warm-latency spread and a
+        # 303 s cold stall, both backend RPC variance — BENCH_SERVING).
+        # One tiny compiled program every ``keepalive_s`` keeps the
+        # transport and server-side session hot between requests; the
+        # per-ping latency history doubles as a stall attributor (a slow
+        # request next to slow pings is the link, not the engine).
+        # ``keepalive_s=0`` disables.
+        self._keepalive_stop = threading.Event()
+        self.ping_history_ms: List[float] = []
+        if keepalive_s:
+            self._start_keepalive(keepalive_s)
         logger.info("Annotation server ready: modes=%s, databases=%d "
                     "(engine warming in background).",
                     self.modes, len(self.databases))
+
+    def _start_keepalive(self, interval_s: float) -> None:
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        ping = jax.jit(lambda x: (x * 1.000001).sum())
+        x = jnp.arange(8, dtype=jnp.float32)
+
+        def loop():
+            while not self._keepalive_stop.wait(interval_s):
+                try:
+                    t0 = _time.perf_counter()
+                    float(ping(x))
+                    self.ping_history_ms.append(
+                        1000.0 * (_time.perf_counter() - t0))
+                    del self.ping_history_ms[:-256]  # bounded history
+                except Exception as exc:
+                    logger.debug("device keepalive ping failed: %s", exc)
+
+        t = threading.Thread(target=loop, daemon=True,
+                             name="device-keepalive")
+        t.start()
+        self._keepalive_thread = t
+
+    def device_ping_ms(self) -> float:
+        """Execute one tiny device program NOW and return its latency (ms).
+
+        Diagnostic: a request that stalls while this ping also stalls is
+        waiting on the backend link, not on engine compute.
+        """
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        t0 = _time.perf_counter()
+        float(jax.jit(lambda x: (x * 1.000001).sum())(
+            jnp.arange(8, dtype=jnp.float32)))
+        return 1000.0 * (_time.perf_counter() - t0)
 
     # -- core ---------------------------------------------------------------
 
@@ -419,6 +474,7 @@ class AnnotationServer:
             server.server_close()
 
     def shutdown(self) -> None:
+        self._keepalive_stop.set()
         server = getattr(self, "_server", None)
         if server is not None:
             server.shutdown()

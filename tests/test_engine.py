@@ -424,6 +424,45 @@ class TestStreaming:
             np.testing.assert_allclose(got[q], ref["bp"][q],
                                        rtol=1e-5, atol=1e-6)
 
+    def test_stream_flush_stragglers_exceed_batch(self):
+        """Merged end-of-stream stragglers can outnumber the steady batch.
+
+        Regression (round-4 advisor, high): with no warmup and a small
+        batch_cap, _flush_residual's merge-into-top-bucket fallback handed
+        dispatch more items than any pickable batch shape (steady < count)
+        and the flat packer indexed out of bounds. Dispatch must chunk.
+        """
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+
+        rng = np.random.default_rng(52)
+        params = init_gcn(jax.random.PRNGKey(16), GCN_CFG)
+        handle = ModelHandle("gcn", "mf", GCN_CFG, params)
+        engine = BatchedPredictor(gcn_models={"mf": handle},
+                                  buckets=(16, 32), batch_cap=4)
+
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        items = []
+        # 3 stragglers in each of two buckets (never fills steady=4), so
+        # the flush merges 6 leftovers while every dispatchable batch ≤ 4
+        for i, L in enumerate((10, 12, 14, 20, 24, 30)):
+            seq = "".join(rng.choice(list(aas), size=L))
+            steps = rng.normal(size=(L, 3)).astype(np.float32)
+            steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+            coords = np.cumsum(3.8 * steps, axis=0).astype(np.float32)
+            proj, ins, _ = project_alignment_coords(seq, seq, coords)
+            items.append((f"q{i}", seq, proj, ins))
+
+        ref = engine.predict_gcn_from_coords(items)
+        got = {}
+        n = engine.predict_stream(iter(items), net="gcn_coords",
+                                  result_cb=lambda p: got.update(p["mf"]))
+        assert n == 6
+        assert set(got) == set(ref["mf"])
+        for q in ref["mf"]:
+            np.testing.assert_allclose(got[q], ref["mf"][q],
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestFlatWire:
     """Unit tests for the padding-free flat wire format (pack → unpack)."""
@@ -784,6 +823,66 @@ class TestShapeReuse:
         for qid, seq in items[:2]:
             single = np.asarray(forward_pass_single(params, CNN_CFG, seq))
             np.testing.assert_allclose(out["bp"][qid], single,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_cnn_collapse_prefers_warmed_bucket(self):
+        """CNN dispatch routes up to an already-warmed larger bucket.
+
+        Warmup's histogram covers ALL query lengths but the CNN fallback
+        sees only the unaligned subset — when every long query aligns, the
+        fallback's natural top bucket is smaller than the warmed one and
+        must reuse the warmed program, not compile fresh (round-4 advisor).
+        """
+        rng = np.random.default_rng(82)
+        params = init_cnn(jax.random.PRNGKey(3), CNN_CFG)
+        handle = ModelHandle("cnn", "bp", CNN_CFG, params)
+        engine = BatchedPredictor(cnn_models={"bp": handle},
+                                  buckets=(32, 64, 128), batch_cap=16)
+        engine.warmup(modes=["bp"], nets=("cnn",), background=False,
+                      expected={128: 8})
+        warmed = {k: set(v) for k, v in engine._ready_shapes.items()}
+        assert ("cnn", 128) in warmed
+        items = [(qid, seq) for qid, seq, _ in
+                 _mk_items(5, rng, min_len=5, max_len=40)]
+        out = engine.predict_cnn(items)
+        # no new program — the short items rode the warmed 128 bucket
+        assert {k: set(v) for k, v in engine._ready_shapes.items()} == warmed
+        for qid, seq in items[:2]:
+            single = np.asarray(forward_pass_single(params, CNN_CFG, seq))
+            np.testing.assert_allclose(out["bp"][qid], single,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_gcn_small_run_prefers_warmed_bucket(self):
+        """A short-protein request reuses the server's warmed 512 shapes.
+
+        The serving warmup compiles only (bucket 512, batch 128); a request
+        whose proteins all fall in smaller buckets must route up to it
+        instead of compiling at its exact bucket (round-4 advisor).
+        """
+        from metagenomic_deepfri_tpu.ops.cmap_align import \
+            project_alignment_coords
+
+        rng = np.random.default_rng(83)
+        engine = self._gcn_engine(buckets=(64, 128, 256))
+        engine.warmup(modes=["mf"], nets=("gcn_coords",), background=False,
+                      expected={256: 128})
+        warmed = {k: set(v) for k, v in engine._ready_shapes.items()}
+        assert ("gcn", 256) in warmed
+        aas = "ACDEFGHIKLMNPQRSTVWY"
+        items = []
+        for i in range(5):
+            L = int(rng.integers(20, 60))
+            seq = "".join(rng.choice(list(aas), size=L))
+            coords = np.cumsum(
+                3.8 * rng.normal(size=(L, 3)).astype(np.float32), axis=0)
+            proj, ins, _ = project_alignment_coords(seq, seq, coords)
+            items.append((f"q{i}", seq, proj, ins))
+        out = engine.predict_gcn_from_coords(items)
+        assert {k: set(v) for k, v in engine._ready_shapes.items()} == warmed
+        ref = self._gcn_engine(buckets=(64, 128, 256)) \
+            .predict_gcn_from_coords(items)
+        for q in ref["mf"]:
+            np.testing.assert_allclose(out["mf"][q], ref["mf"][q],
                                        rtol=1e-4, atol=1e-5)
 
     def test_stream_flush_reuses_warmed_shapes(self):
