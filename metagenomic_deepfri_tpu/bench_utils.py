@@ -188,37 +188,37 @@ def run_gcn_benchmark(bucket: int = 512, batches: int = 8,
             "detail": detail,
         }
 
-    # Measurement runs quick-slice-first: compile + warm ONE batch, time
-    # ONE pass over it, and persist that record immediately (watchdog
-    # mode) — a live number exists from this round before anything that
-    # can hang. Then refine: the full item set, best-of-4 timed passes
-    # (the tunneled link's bandwidth varies several-fold DURING a run —
-    # per-pass spread of 1.5-4.6s observed — so the best pass is the
-    # closer estimate of the engine's steady throughput).
+    # Measurement runs quick-slice-first: compile + warm ONE batch, then
+    # time ONE pass over the full item set and persist that record
+    # immediately (watchdog mode) — a live, representative number exists
+    # from this round before anything else that can hang. (Timing just
+    # the single warm batch instead reads ~16× low: one dispatch+fetch
+    # has no pack/dispatch/drain pipelining.) Then refine with 3 more
+    # full passes, best-of-4 (the tunneled link's bandwidth varies
+    # several-fold DURING a run — per-pass spread of 1.5-4.6s observed —
+    # so the best pass is the closer estimate of steady throughput).
     guarded = quick_path is not None
 
     def budget(s):
         return s if guarded else None
 
     t_start = time.perf_counter()
-    quick_items = items[:batch]
     with _phase_guard("compile+warm", budget(210.0)):
-        run(quick_items)
-    with _phase_guard("quick-slice", budget(60.0)):
+        run(items[:batch])
+    with _phase_guard("quick-slice", budget(90.0)):
         t0 = time.perf_counter()
-        run(quick_items)
+        run(items)  # also warms the remaining flat-wire capacity variants
         quick_elapsed = time.perf_counter() - t0
-    quick_pps = len(quick_items) / quick_elapsed
+    quick_pps = len(items) / quick_elapsed
     if quick_path:
-        quick = mk_result(quick_pps, quick_elapsed, len(quick_items),
+        quick = mk_result(quick_pps, quick_elapsed, len(items),
                           [quick_elapsed], "quick_slice")
         with open(quick_path, "w", encoding="utf-8") as f:
             f.write(json.dumps(quick) + "\n")
 
     with _phase_guard("full-refine", budget(120.0)):
-        run(items)  # warm the remaining flat-wire capacity variants
-        elapsed_passes = []
-        for _ in range(4):
+        elapsed_passes = [quick_elapsed]
+        for _ in range(3):
             t0 = time.perf_counter()
             run(items)
             elapsed_passes.append(time.perf_counter() - t0)

@@ -133,7 +133,8 @@ def export_gcn_tf2onnx_style(params: dict, config: GCNConfig, path: str, *,
                              bidir_as_pair: bool = False,
                              bidir_as_revseq: bool = False,
                              adj_norm: str = "none",
-                             embed_merge: str = "add") -> None:
+                             embed_merge: str = "add",
+                             weights_as_inputs: bool = False) -> None:
     """Write a GCN graph in the tf2onnx export pattern (see module doc).
 
     ``adj_norm`` embeds an in-graph adjacency-normalisation subgraph; the
@@ -143,7 +144,11 @@ def export_gcn_tf2onnx_style(params: dict, config: GCNConfig, path: str, *,
     with the backward branch wrapped in ReverseSequence on input and output
     (the exporter's third Bidirectional lowering). ``embed_merge='concat'``
     produces the unsupported concatenation-merge variant — the importer must
-    reject it loudly. GraphConv / LM-embedding biases are emitted whenever
+    reject it loudly. ``weights_as_inputs`` additionally lists a handful of
+    weight initializers in ``graph.input`` (keras2onnx-lineage exports do
+    this; ONNX permits it, and an importer that maps every graph input to a
+    runtime input mis-infers the model — ours must filter them like
+    onnxruntime's ``session.get_inputs()`` does). GraphConv / LM-embedding biases are emitted whenever
     the parameter tree carries them. ``config.pool='mean'`` pools the
     GraphConv concat with ReduceMean instead of ReduceSum.
     """
@@ -275,9 +280,17 @@ def export_gcn_tf2onnx_style(params: dict, config: GCNConfig, path: str, *,
                          params["head"]["bias"])
     out = _dynamic_head(g, logits, batch_vec, config.n_labels)
 
+    inputs = [("input_1", _F32, ["unk__0", "unk__1", "unk__2"]),
+              ("input_2", _F32, ["unk__3", "unk__4", config.vocab])]
+    if weights_as_inputs:
+        # initializers shadowed into graph.input (keras2onnx-lineage form)
+        dt = {np.dtype(np.float32): _F32, np.dtype(np.int64): 7,
+              np.dtype(np.int32): _INT32, np.dtype(np.float64): 11}
+        for name in list(g.init)[:4]:
+            arr = g.init[name]
+            inputs.append((name, dt[arr.dtype], list(arr.shape)))
     save_onnx(path, g.nodes, g.init,
-              inputs=[("input_1", _F32, ["unk__0", "unk__1", "unk__2"]),
-                      ("input_2", _F32, ["unk__3", "unk__4", config.vocab])],
+              inputs=inputs,
               outputs=[(out, _F32, ["unk__5", config.n_labels, 2])],
               graph_name="model")
 

@@ -49,6 +49,13 @@ def tools_dir() -> Path:
     return Path.home() / ".local" / "share" / "mdeepfri" / "bin"
 
 
+def vendor_dir() -> Path:
+    """Wheel-vendored binaries — populated at build time when
+    ``MDEEPFRI_VENDOR_BINARIES=1`` (see ``setup.py``), mirroring the
+    reference's build-time vendoring (reference ``setup.py:66-135``)."""
+    return Path(__file__).resolve().parent.parent / "_vendor"
+
+
 def _cpu_flags() -> set:
     """x86 feature flags from /proc/cpuinfo (no archspec dependency —
     the reference pulls in archspec just for this, ``setup.py:52-62``)."""

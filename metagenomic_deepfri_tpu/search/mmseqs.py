@@ -22,12 +22,24 @@ logger = logging.getLogger(__name__)
 
 
 def _tool_path(name: str, env_var: str) -> str | None:
-    """Discovery order: env override → `get-binaries` tools dir → PATH."""
-    from metagenomic_deepfri_tpu.search.binaries import tools_dir
+    """Discovery order: env override → wheel-vendored binary →
+    `get-binaries` tools dir → PATH.
+
+    The vendored location (``metagenomic_deepfri_tpu/_vendor/``) is
+    populated at wheel-build time by ``MDEEPFRI_VENDOR_BINARIES=1`` (see
+    ``setup.py``), mirroring the reference's build-time vendoring
+    (reference ``setup.py:115-135``); without it the same binaries arrive
+    via the ``get-binaries`` verb at runtime.
+    """
+    from metagenomic_deepfri_tpu.search.binaries import (tools_dir,
+                                                         vendor_dir)
 
     env = os.environ.get(env_var)
     if env and Path(env).exists():
         return env
+    vendored = vendor_dir() / name
+    if vendored.exists() and os.access(vendored, os.X_OK):
+        return str(vendored)
     fetched = tools_dir() / name
     if fetched.exists() and os.access(fetched, os.X_OK):
         return str(fetched)

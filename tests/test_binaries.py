@@ -99,6 +99,24 @@ class TestDiscovery:
         monkeypatch.setenv("MDEEPFRI_FOLDCOMP_PATH", str(override))
         assert m.foldcomp_path() == str(override)
 
+    def test_vendored_binary_discovered(self, tmp_path, monkeypatch):
+        """A wheel-vendored binary (MDEEPFRI_VENDOR_BINARIES=1 build) is
+        found before the tools dir and PATH — reference-style vendoring."""
+        from metagenomic_deepfri_tpu.search import binaries as b
+        from metagenomic_deepfri_tpu.search import mmseqs as m
+
+        vendor = tmp_path / "_vendor"
+        vendor.mkdir()
+        monkeypatch.setattr(b, "vendor_dir", lambda: vendor)
+        monkeypatch.setenv("MDEEPFRI_TOOLS_DIR", str(tmp_path / "none"))
+        monkeypatch.delenv("MDEEPFRI_MMSEQS_PATH", raising=False)
+        monkeypatch.setenv("PATH", str(tmp_path / "nowhere"))
+        assert m.mmseqs_path() is None
+        mm = vendor / "mmseqs"
+        mm.write_text("#!/bin/sh\n")
+        mm.chmod(mm.stat().st_mode | stat.S_IXUSR)
+        assert m.mmseqs_path() == str(mm)
+
     def test_install_hint_mentions_verb(self):
         hint = tool_install_hint("foldcomp")
         assert "get-binaries" in hint

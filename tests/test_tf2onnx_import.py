@@ -97,6 +97,21 @@ class TestGcnTf2onnxStyle:
 
         _gcn_parity(params, GCN_CFG, path)
 
+    def test_weights_shadowed_into_graph_inputs(self, tmp_path):
+        """Initializers ALSO listed in graph.input (keras2onnx-lineage
+        exports) must be filtered to the true runtime inputs — an importer
+        that maps every graph input to a runtime input mis-infers roles."""
+        params = init_gcn(jax.random.PRNGKey(6), GCN_CFG)
+        path = str(tmp_path / "gcn_winputs.onnx")
+        export_gcn_tf2onnx_style(params, GCN_CFG, path,
+                                 weights_as_inputs=True)
+        raw = load_onnx(path)
+        # the loader must present exactly the two runtime inputs
+        assert [vi.name for vi in raw.inputs] == ["input_1", "input_2"]
+        roles = graph_input_roles(raw)
+        assert roles == {"A": "input_1", "S": "input_2"}
+        _gcn_parity(params, GCN_CFG, path)
+
     def test_bidirectional_as_lstm_pair(self, tmp_path):
         """Keras Bidirectional exported as forward+reverse node pairs must
         import identically to the single bidirectional-node form."""
