@@ -869,6 +869,8 @@ def run_roofline_benchmark(bucket: int = 512, n_labels: int = 512,
     ]
     cells = []
     for name, fn, args, flops in stages:
+        print(f"roofline: timing stage {name}...", file=sys.stderr,
+              flush=True)
         elapsed = time_loop(fn, *args)
         pps = B * reps / elapsed
         cells.append({
