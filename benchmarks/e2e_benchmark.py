@@ -253,7 +253,28 @@ def run_one(size: int, workdir: Path, threads: int,
                                     encoding="utf-8")) - 1
     assert n_results > 0, "pipeline produced an empty results.tsv"
     row["result_rows"] = n_results
+    row["control_first_exec_s"] = _tunnel_control(size)
     return row
+
+
+def _tunnel_control(salt: int) -> float:
+    """First execution of a TRIVIAL fresh program in this process window.
+
+    On the tunneled dev chip the first execution of any fresh executable
+    costs seconds-to-minutes, largely independent of program content
+    (a 4-matmul probe measured 36-55 s under load). This control, taken
+    right after the timed run, makes that environmental floor visible
+    per row: a fresh-process e2e time cannot go below it here, while a
+    co-located TPU VM loads a cached executable in well under a second.
+    ``salt`` keys the program so every row pays a genuinely fresh one.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    x = jnp.eye(64, dtype=jnp.float32)
+    float(jax.jit(lambda a: (a @ a @ a).sum() + float(salt))(x))
+    return round(time.perf_counter() - t0, 2)
 
 
 MODEL_CONFIG_NOTE = ("gcn: lm 512x2 + embed 1024 + gc 512-512-512 + fc 1024"
