@@ -44,6 +44,37 @@ from metagenomic_deepfri_tpu.ops.one_hot import seq2tokens
 
 logger = logging.getLogger(__name__)
 
+_admission_probe_started = False
+_admission_lock = threading.Lock()
+
+
+def start_admission_probe() -> None:
+    """Pay the backend's per-process ADMISSION cost now, off-thread, once.
+
+    On a tunneled/remote device the first RPC of a process can stall
+    seconds-to-minutes independent of content (measured: a trivial first
+    program 74 s, after which the full-size 3-mode batch ran in 0.34 s —
+    docs/PERFORMANCE.md). Firing one tiny program as early as possible
+    overlaps that stall with host-side work (DB search, model load)
+    instead of the first real batch. Idempotent and never raises.
+    """
+    global _admission_probe_started
+    with _admission_lock:
+        if _admission_probe_started:
+            return
+        _admission_probe_started = True
+
+    def _probe():
+        try:
+            jax.jit(lambda x: x * 1.000001 + 0.5)(
+                jnp.arange(8, dtype=jnp.float32)).block_until_ready()
+            logger.debug("backend admission probe complete")
+        except Exception as exc:  # never let the probe surface
+            logger.debug("admission probe failed: %s", exc)
+
+    threading.Thread(target=_probe, daemon=True,
+                     name="engine-admission-probe").start()
+
 
 @dataclass
 class ModelHandle:
@@ -447,6 +478,14 @@ class BatchedPredictor:
                 sorted(self._gcn_shared[0]))
         self._place_params()
         self._gcn_multi_jit = {}
+        # Pay the backend's per-process ADMISSION cost now, off-thread:
+        # on a tunneled/remote device the first RPC of a process can
+        # stall seconds-to-minutes independent of content (measured: a
+        # trivial first program 74 s, then the full-size 3-mode batch
+        # 0.34 s — docs/PERFORMANCE.md). Firing a tiny program at engine
+        # construction overlaps that stall with host-side setup (model
+        # load, DB indexing, search) instead of the first real batch.
+        start_admission_probe()
 
     def _place_params(self):
         """Device-place every handle's parameter tree ONCE.

@@ -120,6 +120,14 @@ def hierarchical_database_search(query_file: QueryFile,
                                  threads: int = 1) -> List[Database]:
     """Search each database in order, filter + top-k, persist per-DB TSVs
     (reference pipeline.py:107-267)."""
+    # The search phase is pure host work — start paying the device
+    # backend's per-process admission stall underneath it (see
+    # batching.engine.start_admission_probe) so the inference phase
+    # starts against an admitted connection.
+    from metagenomic_deepfri_tpu.batching.engine import \
+        start_admission_probe
+
+    start_admission_probe()
     output_path = pathlib.Path(output_path)
     output_path.mkdir(parents=True, exist_ok=True)
     sequence_num_start = len(query_file.sequences)
