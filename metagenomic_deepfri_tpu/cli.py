@@ -378,8 +378,14 @@ def make_cmaps(input_dir, output_dir, threshold):
               show_default=True)
 @click.option("--mmseqs-min-coverage", default=0.9, type=float,
               show_default=True)
+@click.option("--obo", "obo_path", default=None,
+              type=click.Path(exists=True, path_type=Path),
+              help="go-basic.obo file: responses gain per-protein "
+                   "propagated_scores (true-path GO propagation, the "
+                   "serving analogue of results_propagated.tsv).")
 def serve(weights, db_path, socket_path, processing_modes, threads, top_k,
-          mmseqs_max_evalue, mmseqs_min_identity, mmseqs_min_coverage):
+          mmseqs_max_evalue, mmseqs_min_identity, mmseqs_min_coverage,
+          obo_path):
     """Run a resident annotation server on a Unix socket (JSONL protocol).
 
     Models stay on device and databases stay indexed between requests —
@@ -397,7 +403,8 @@ def serve(weights, db_path, socket_path, processing_modes, threads, top_k,
         min_ident=mmseqs_min_identity,
         min_coverage=mmseqs_min_coverage,
         top_k=top_k,
-        threads=threads)
+        threads=threads,
+        obo_path=obo_path)
     server.serve_unix(socket_path)
 
 

@@ -118,7 +118,8 @@ class AnnotationServer:
                  threads: int = 1,
                  score_topk: Optional[int] = None,
                  mesh=None,
-                 keepalive_s: float = 5.0):
+                 keepalive_s: float = 5.0,
+                 obo_path=None):
         from metagenomic_deepfri_tpu.pipeline import \
             _initialize_processing_modes
         from metagenomic_deepfri_tpu.utils import load_deepfri_config
@@ -153,6 +154,16 @@ class AnnotationServer:
         self.scoring_matrix = scoring_matrix
         self.threads = threads
         self._coords = _CoordCache(coord_cache)
+        # Optional GO-DAG for per-response true-path propagation (the batch
+        # pipeline's results_propagated.tsv analogue): responses gain a
+        # "propagated_scores" entry per protein when an OBO file is given.
+        self._godag = None
+        self._go_anc_cache: Dict[str, frozenset] = {}
+        if obo_path is not None:
+            from metagenomic_deepfri_tpu.ontology.go import GoDag
+            self._godag = GoDag.from_obo(obo_path)
+            logger.info("GO propagation enabled (%d terms).",
+                        len(self._godag.names))
 
         self.databases: List[Database] = []
         self._targets: Dict[str, Dict[str, str]] = {}
@@ -366,8 +377,37 @@ class AnnotationServer:
                 scores_by_mode[mode] = [(t, round(s, 4), n)
                                         for t, s, n in keep]
             entry["scores"] = scores_by_mode
+            if self._godag is not None:
+                entry["propagated_scores"] = {
+                    mode: self._propagate_mode(rows)
+                    for mode, rows in scores_by_mode.items()}
             results[qid] = entry
         return {"results": results, "skipped": skipped}
+
+    def _propagate_mode(self, rows) -> list:
+        """Ancestor terms (true-path rule) NOT already in ``rows``.
+
+        Same semantics as the batch pipeline's ``results_propagated.tsv``
+        (ontology.go.propagate_results): each GO term's is_a/part_of
+        ancestors inherit the maximum descendant score, roots excluded,
+        EC numbers pass through unpropagated; returned sorted by score
+        descending then term.
+        """
+        dag = self._godag
+        present = {t for t, _, _ in rows}
+        inherited: Dict[str, float] = {}
+        for term, score, _ in rows:
+            if not term.startswith("GO:"):
+                continue
+            anc = self._go_anc_cache.get(term)
+            if anc is None:
+                anc = self._go_anc_cache[term] = dag.ancestors(term)
+            for a in anc:
+                if a not in present and inherited.get(a, -1.0) < score:
+                    inherited[a] = score
+        return [(t, round(s, 4), dag.name(t))
+                for t, s in sorted(inherited.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))]
 
     # -- request micro-batching ---------------------------------------------
 

@@ -107,6 +107,45 @@ class TestAnnotate:
                 scores = [s for _, s, _ in rows]
                 assert scores == sorted(scores, reverse=True)
 
+    def test_go_propagation_in_response(self, server, tmp_path):
+        """With a GO DAG loaded, responses carry propagated ancestors
+        (true-path rule, same semantics as results_propagated.tsv)."""
+        from metagenomic_deepfri_tpu.ontology.go import GoDag
+
+        obo = tmp_path / "go.obo"
+        # every vocabulary term is_a one shared parent outside the vocab
+        stanzas = ["format-version: 1.2\n"]
+        for t in GOTERMS:
+            stanzas.append(f"[Term]\nid: {t}\nname: leaf {t}\n"
+                           "is_a: GO:0000090 ! shared parent\n")
+        stanzas.append("[Term]\nid: GO:0000090\nname: shared parent\n")
+        obo.write_text("\n".join(stanzas))
+
+        srv, seqs = server
+        srv._godag = GoDag.from_obo(obo)
+        srv._go_anc_cache = {}
+        try:
+            out = srv.annotate({"qp": _mutate(seqs["af_1"], 3)})
+            entry = out["results"]["qp"]
+            assert "propagated_scores" in entry
+            for mode, rows in entry["scores"].items():
+                prop = entry["propagated_scores"][mode]
+                if not rows:
+                    assert prop == []
+                    continue
+                # the shared parent inherits the best leaf score
+                assert prop, f"no propagated terms for {mode}"
+                terms = {t for t, _, _ in prop}
+                assert "GO:0000090" in terms
+                best = max(s for _, s, _ in rows)
+                by_term = {t: s for t, s, _ in prop}
+                assert by_term["GO:0000090"] == pytest.approx(best,
+                                                             abs=1e-4)
+                # propagated list never repeats an original term
+                assert not terms & {t for t, _, _ in rows}
+        finally:
+            srv._godag = None
+
     def test_coord_cache_reuse(self, server):
         srv, seqs = server
         before = len(srv._coords._data)
