@@ -197,8 +197,9 @@ def main():
         time.sleep(2.0)
     proc.wait()
     if killed_at is None:
-        raise SystemExit("run finished before the kill fired — raise "
-                         "--kill-progress-files")
+        raise SystemExit("run finished before the kill fired — lower "
+                         "--kill-progress-files so mid-stream progress "
+                         "triggers it earlier")
     ckpt_files_at_kill = _count_ckpt_rows(out_b)
     print(f"killed -9 at {killed_at:.1f}s with {ckpt_files_at_kill} "
           "checkpoint file(s)", flush=True)
