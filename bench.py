@@ -62,6 +62,14 @@ ATTEMPT_TIMEOUTS_S = (420, 120)
 
 
 def run_measurement(args):
+    if os.environ.get("MDEEPFRI_BENCH_TINY"):
+        # CPU protocol tests: pin the backend BEFORE anything can touch
+        # it — enable_persistent_compile_cache() queries the default
+        # backend, which would otherwise initialise the tunneled device
+        # (and hang the test when the service is stalled).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from metagenomic_deepfri_tpu.utils import enable_persistent_compile_cache
     enable_persistent_compile_cache()
     if "--matrix" in args:
@@ -96,11 +104,6 @@ def run_measurement(args):
     quick_detail = ({"run_nonce": nonce, "bench_args": sorted(args)}
                     if quick_path else None)
     if os.environ.get("MDEEPFRI_BENCH_TINY"):  # CPU protocol tests only
-        # the environment pins the tunneled-TPU backend via env var; the
-        # only reliable override is jax.config before first backend use
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
         return run_gcn_benchmark(bucket=32, batches=2, n_labels=8,
                                  batch_cap=2, with_device_loop=False,
                                  device_only_cache=None,

@@ -72,8 +72,15 @@ def start_admission_probe() -> None:
         except Exception as exc:  # never let the probe surface
             logger.debug("admission probe failed: %s", exc)
 
-    threading.Thread(target=_probe, daemon=True,
-                     name="engine-admission-probe").start()
+    t = threading.Thread(target=_probe, daemon=True,
+                         name="engine-admission-probe")
+    t.start()
+    # Give an in-flight probe a moment to drain at interpreter exit —
+    # a daemon thread inside a device call during backend destruction
+    # aborts the process from C++.
+    import atexit
+
+    atexit.register(t.join, 2.0)
 
 
 @dataclass

@@ -239,6 +239,15 @@ class AnnotationServer:
                              name="device-keepalive")
         t.start()
         self._keepalive_thread = t
+        # Interpreter teardown: stop pinging and give an in-flight ping a
+        # moment to drain BEFORE the runtime destructs — a daemon thread
+        # inside a device call during backend destruction aborts the
+        # process from C++ ("terminate called ... FATAL: exception not
+        # rethrown").
+        import atexit
+
+        atexit.register(lambda: (self._keepalive_stop.set(),
+                                 t.join(timeout=2.0)))
 
     def device_ping_ms(self) -> float:
         """Execute one tiny device program NOW and return its latency (ms).
